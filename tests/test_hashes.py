@@ -1,0 +1,110 @@
+"""Bit-exactness tests for the OOV integer hash family.
+
+The reference computes these on torch int64 tensors
+(`recbole/inductive/random_mapper.py:70-114`); we verify our NumPy
+implementations reproduce torch's wraparound/arithmetic-shift/floor-mod
+semantics exactly, including for huge prime-padded IDs.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from oovrec_tpu.inductive.hashes import (
+    big_64bit_hash,
+    fast_int_hash,
+    hash_ids,
+    three_round_int_hash,
+)
+
+PRIME_PAD = 112062759511
+
+
+def _torch_fast(x):
+    x = x.clone()
+    x = x.bitwise_xor(x.bitwise_right_shift(16))
+    x *= 0x21F0AAAD
+    x = x.bitwise_xor(x.bitwise_right_shift(15))
+    x *= 0xD35A2D97
+    x = x.bitwise_xor(x.bitwise_right_shift(15))
+    return x
+
+
+def _torch_3round(x):
+    x = x.clone()
+    x = x.bitwise_xor(x.bitwise_right_shift(17))
+    x *= 0xED5AD4BB
+    x = x.bitwise_xor(x.bitwise_right_shift(11))
+    x *= 0xAC4C1B51
+    x = x.bitwise_xor(x.bitwise_right_shift(15))
+    x *= 0x31848BAB
+    x = x.bitwise_xor(x.bitwise_right_shift(14))
+    return x
+
+
+def _ids():
+    rng = np.random.Generator(np.random.PCG64(7))
+    small = rng.integers(0, 100_000, size=1000, dtype=np.int64)
+    padded = small + PRIME_PAD
+    edge = np.array([0, 1, 2**31 - 1, 2**31, 2**40, PRIME_PAD], dtype=np.int64)
+    return np.concatenate([small, padded, edge])
+
+
+def test_fast_hash_matches_torch_int64():
+    ids = _ids()
+    ours = fast_int_hash(ids)
+    theirs = _torch_fast(torch.from_numpy(ids)).numpy()
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_three_round_hash_matches_torch_int64():
+    ids = _ids()
+    ours = three_round_int_hash(ids)
+    theirs = _torch_3round(torch.from_numpy(ids)).numpy()
+    np.testing.assert_array_equal(ours, theirs)
+
+
+@pytest.mark.parametrize("n_buckets", [1, 7, 100, 1024])
+@pytest.mark.parametrize("fn", ["mod", "fast", "3round", "64bit"])
+def test_bucketed_hashes_nonnegative_and_in_range(fn, n_buckets):
+    ids = _ids()
+    b = hash_ids(ids, n_buckets, fn)
+    assert b.dtype == np.int64
+    assert (b >= 0).all() and (b < n_buckets).all()
+
+
+def test_bucketing_matches_torch_floor_mod():
+    # torch `%` on possibly-negative hashed values follows Python floor-mod;
+    # confirm ours agrees end-to-end for the default 3round function.
+    ids = _ids()
+    n_buckets = 113
+    ours = hash_ids(ids, n_buckets, "3round")
+    theirs = (_torch_3round(torch.from_numpy(ids)) % n_buckets).numpy()
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_64bit_reference_values():
+    # splitmix64 finalizer golden values (computed with Python big-int
+    # emulation of uint64 arithmetic, independent of numpy).
+    def py_splitmix64(v):
+        M = (1 << 64) - 1
+        v &= M
+        v = ((v ^ (v >> 30)) * 0xBF58476D1CE4E5B9) & M
+        v = ((v ^ (v >> 27)) * 0x94D049BB133111EB) & M
+        v ^= v >> 31
+        return v
+
+    ids = np.array([0, 1, 42, PRIME_PAD, 2**40 + 3], dtype=np.int64)
+    for n_buckets in (97, 1000):
+        expect = np.array([py_splitmix64(int(i)) % n_buckets for i in ids])
+        got = big_64bit_hash(ids, n_buckets)
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_hash_is_deterministic_and_spreads():
+    ids = np.arange(10_000, dtype=np.int64) + PRIME_PAD
+    b1 = hash_ids(ids, 256, "3round")
+    b2 = hash_ids(ids, 256, "3round")
+    np.testing.assert_array_equal(b1, b2)
+    # all 256 buckets hit for 10k sequential padded ids
+    assert len(np.unique(b1)) == 256
