@@ -1,0 +1,688 @@
+"""Dataset: atomic files → filtered, ID-remapped arrays + split builder.
+
+Re-implements the behavior of `recbole/data/dataset/dataset.py` (2185 LoC)
+as a one-shot host preprocessing pass that ends in NumPy arrays (the device
+only ever sees fixed-shape batches cut from these arrays).
+
+Behavioral parity notes (file:line refer to the reference):
+  * remap via factorize-in-order with ``[PAD]``=0, interaction columns before
+    user/item feature columns (`dataset.py:1188-1243`, `:1162-1186`) — this
+    ordering is what gives old entities IDs < n_old in the `_ind` corpora.
+  * `_remove_new_samples` drops rows whose `is_new` token equals '1' AFTER
+    remapping (`dataset.py:174-181`), transductive datasets only.
+  * split: benchmark files bypass ordering/splitting (`dataset.py:1769-1785`);
+    RS ratio split grouped by user with the reference's exact rounding
+    (`_calcu_split_ids` `dataset.py:1623-1645`); **fork quirk preserved**:
+    'TO' ordering is a no-op in the base dataset (`dataset.py:1791-1793`).
+  * float normalization is min-max (`dataset.py:682-740`); nan imputation is
+    PAD for tokens / mean for floats (`dataset.py:655-680`).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import OrderedDict
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from oovrec_tpu.data.atomic import load_atomic_file
+from oovrec_tpu.utils.enums import FeatureSource, FeatureType
+from oovrec_tpu.utils.logging import init_logger
+from oovrec_tpu.utils.seeding import host_rng
+
+
+def _parse_interval(s: Optional[str]):
+    """Parse '[A,B)' style interval strings into (lo, hi, lo_inc, hi_inc)."""
+    if not s:
+        return None
+    m = re.fullmatch(r"\s*([\[(])\s*([^,]+)\s*,\s*([^)\]]+)\s*([)\]])\s*", str(s))
+    if not m:
+        raise ValueError(f"Invalid interval: {s!r}")
+    lo = float(m.group(2))
+    hi = float(m.group(3))
+    return lo, hi, m.group(1) == "[", m.group(4) == "]"
+
+
+def _in_interval(x: np.ndarray, iv) -> np.ndarray:
+    lo, hi, lo_inc, hi_inc = iv
+    left = x >= lo if lo_inc else x > lo
+    right = x <= hi if hi_inc else x < hi
+    return left & right
+
+
+class Dataset:
+    """Transductive dataset (the training corpus)."""
+
+    def __init__(self, config, _defer_processing: bool = False):
+        self.config = config
+        self.dataset_name: str = config["dataset"]
+        self.logger = init_logger()
+
+        self.uid_field: str = config["USER_ID_FIELD"]
+        self.iid_field: str = config["ITEM_ID_FIELD"]
+        self.label_field: str = config["LABEL_FIELD"]
+        self.time_field: str = config["TIME_FIELD"]
+
+        self.field2type: Dict[str, FeatureType] = {}
+        self.field2source: Dict[str, FeatureSource] = {}
+        self.field2seqlen: Dict[str, int] = {}
+        self.field2id_token: Dict[str, np.ndarray] = {}
+        self.field2token_id: Dict[str, Dict[str, int]] = {}
+        self.field2bucketnum: Dict[str, int] = {}
+
+        self.inter_feat: Optional[pd.DataFrame] = None
+        self.user_feat: Optional[pd.DataFrame] = None
+        self.item_feat: Optional[pd.DataFrame] = None
+        self.benchmark_filename_list = config["benchmark_filename"]
+        self.file_size_list: List[int] = []
+
+        if not _defer_processing:
+            self._from_scratch()
+
+    # ------------------------------------------------------------------ load
+
+    def _from_scratch(self) -> None:
+        self._load_data()
+        self._data_processing()
+
+    def _data_processing(self) -> None:
+        """Pipeline order mirrors `dataset.py:160-173` (fork variant)."""
+        self._data_filtering()
+        self._remap_id_all()
+        self._remove_new_samples()
+        self._user_item_feat_preparation()
+        self._fill_nan()
+        self._set_label_by_threshold()
+        self._normalize()
+        self._discretization()
+
+    def _dataset_path(self) -> str:
+        return os.path.join(self.config["data_path"], self.dataset_name)
+
+    def _load_data(self) -> None:
+        path = self._dataset_path()
+        token = self.dataset_name
+        sep = self.config["field_separator"]
+        seq_sep = self.config["seq_separator"]
+        load_col_cfg = self.config["load_col"]
+        unload_col_cfg = self.config["unload_col"] or {}
+
+        def cols_for(suffix: str):
+            if load_col_cfg is None:
+                return None, set(unload_col_cfg.get(suffix, []) or [])
+            if suffix in load_col_cfg:
+                lc = load_col_cfg[suffix]
+                load = None if lc == "*" else set(lc)
+            else:
+                load = set()
+            return load, set(unload_col_cfg.get(suffix, []) or [])
+
+        # interactions (single file or concatenated benchmark files)
+        inter_load, inter_unload = cols_for("inter")
+        if self.benchmark_filename_list is None:
+            fp = os.path.join(path, f"{token}.inter")
+            if not os.path.isfile(fp):
+                raise ValueError(f"File {fp} not exist.")
+            self.inter_feat, f2t = load_atomic_file(
+                fp, sep, seq_sep, inter_load, inter_unload
+            )
+            self._register_fields(f2t, FeatureSource.INTERACTION)
+        else:
+            feats = []
+            sizes = []
+            for name in self.benchmark_filename_list:
+                fp = os.path.join(path, f"{token}.{name}.inter")
+                if not os.path.isfile(fp):
+                    raise ValueError(f"File {fp} not exist.")
+                df, f2t = load_atomic_file(fp, sep, seq_sep, inter_load, inter_unload)
+                self._register_fields(f2t, FeatureSource.INTERACTION)
+                feats.append(df)
+                sizes.append(len(df))
+            self.inter_feat = pd.concat(feats, ignore_index=True)
+            self.file_size_list = sizes
+
+        # user / item feature files
+        for suffix, source, id_field in (
+            ("user", FeatureSource.USER, self.uid_field),
+            ("item", FeatureSource.ITEM, self.iid_field),
+        ):
+            fp = os.path.join(path, f"{token}.{suffix}")
+            load, unload = cols_for(suffix)
+            if os.path.isfile(fp) and (load is None or load):
+                df, f2t = load_atomic_file(fp, sep, seq_sep, load, unload)
+                if df.empty:
+                    continue
+                if id_field not in df.columns:
+                    raise ValueError(
+                        f"{id_field} must be loaded if {suffix} features are loaded."
+                    )
+                self._register_fields(f2t, source)
+                self.field2source[id_field] = (
+                    FeatureSource.USER_ID
+                    if suffix == "user"
+                    else FeatureSource.ITEM_ID
+                )
+                setattr(self, f"{suffix}_feat", df)
+
+        if self.uid_field and self.uid_field not in self.field2type:
+            self.field2type[self.uid_field] = FeatureType.TOKEN
+        if self.iid_field and self.iid_field not in self.field2type:
+            self.field2type[self.iid_field] = FeatureType.TOKEN
+
+    def _register_fields(self, f2t: Dict[str, FeatureType], source) -> None:
+        for field, ftype in f2t.items():
+            self.field2source.setdefault(field, source)
+            self.field2type[field] = ftype
+            if not ftype.value.endswith("seq"):
+                self.field2seqlen[field] = 1
+            if "float" in ftype.value:
+                self.field2bucketnum.setdefault(field, 2)
+
+    # -------------------------------------------------------------- filtering
+
+    def _data_filtering(self) -> None:
+        """nan-ID drop, dedup, value filter, k-core (`dataset.py:192-290`)."""
+        inter = self.inter_feat
+        # missing user/item id
+        for f in (self.uid_field, self.iid_field):
+            if f in inter.columns:
+                inter = inter[~inter[f].isna()]
+
+        rm_dup = self.config["rm_dup_inter"]
+        if rm_dup in ("first", "last"):
+            inter = inter.drop_duplicates(
+                subset=[self.uid_field, self.iid_field], keep=rm_dup
+            )
+
+        val_interval = self.config["val_interval"]
+        if val_interval:
+            for field, iv_s in val_interval.items():
+                if field in inter.columns:
+                    iv = _parse_interval(iv_s)
+                    inter = inter[_in_interval(inter[field].values, iv)]
+
+        # iterative k-core on interaction counts
+        u_iv = _parse_interval(self.config["user_inter_num_interval"])
+        i_iv = _parse_interval(self.config["item_inter_num_interval"])
+        if (
+            self.uid_field in inter.columns
+            and self.iid_field in inter.columns
+            and (u_iv or i_iv)
+        ):
+            while True:
+                n = len(inter)
+                if u_iv:
+                    cnt = inter.groupby(self.uid_field)[self.uid_field].transform(
+                        "size"
+                    )
+                    inter = inter[_in_interval(cnt.values, u_iv)]
+                if i_iv:
+                    cnt = inter.groupby(self.iid_field)[self.iid_field].transform(
+                        "size"
+                    )
+                    inter = inter[_in_interval(cnt.values, i_iv)]
+                if len(inter) == n:
+                    break
+
+        # drop interactions whose user/item has no feature row
+        if self.config["filter_inter_by_user_or_item"]:
+            if self.user_feat is not None:
+                inter = inter[
+                    inter[self.uid_field].isin(self.user_feat[self.uid_field].values)
+                ]
+            if self.item_feat is not None:
+                inter = inter[
+                    inter[self.iid_field].isin(self.item_feat[self.iid_field].values)
+                ]
+
+        self.inter_feat = inter.reset_index(drop=True)
+
+    # ---------------------------------------------------------------- remap
+
+    def _alias_groups(self) -> "OrderedDict[str, np.ndarray]":
+        alias = OrderedDict()
+        alias[self.uid_field] = np.array(
+            [self.uid_field] + list(self.config["alias_of_user_id"] or [])
+        )
+        alias[self.iid_field] = np.array(
+            [self.iid_field] + list(self.config["alias_of_item_id"] or [])
+        )
+        return alias
+
+    def _field_feats(self, field: str) -> List[pd.DataFrame]:
+        """DataFrames holding `field`, interaction first (`dataset.py:1162`)."""
+        feats = []
+        if self.inter_feat is not None and field in self.inter_feat.columns:
+            feats.append(self.inter_feat)
+        if self.user_feat is not None and field in self.user_feat.columns:
+            feats.append(self.user_feat)
+        if self.item_feat is not None and field in self.item_feat.columns:
+            feats.append(self.item_feat)
+        return feats
+
+    def _remap_id_all(self) -> None:
+        alias = self._alias_groups()
+        remapped = set()
+        for fields in alias.values():
+            fields = [f for f in fields if f in self.field2type]
+            self._remap_fields(fields)
+            remapped.update(fields)
+        rest = [
+            f
+            for f, t in self.field2type.items()
+            if t in (FeatureType.TOKEN, FeatureType.TOKEN_SEQ) and f not in remapped
+        ]
+        for f in rest:
+            self._remap_fields([f])
+
+    def _remap_fields(self, fields: List[str]) -> None:
+        """factorize-in-order remap with [PAD]=0 (`dataset.py:1219-1243`)."""
+        remap_list = []
+        for field in fields:
+            ftype = self.field2type[field]
+            for feat in self._field_feats(field):
+                remap_list.append((feat, field, ftype))
+        if not remap_list:
+            return
+
+        chunks = []
+        for feat, field, ftype in remap_list:
+            if ftype == FeatureType.TOKEN:
+                chunks.append(feat[field].values.astype(str))
+            else:  # TOKEN_SEQ
+                vals = list(feat[field].values)
+                chunks.append(
+                    np.concatenate(vals) if vals else np.array([], dtype=str)
+                )
+        split_point = np.cumsum([len(c) for c in chunks])[:-1]
+        tokens = np.concatenate(chunks) if chunks else np.array([], dtype=str)
+
+        new_ids, uniques = pd.factorize(tokens)
+        new_ids_list = np.split(new_ids + 1, split_point)
+        mp = np.array(["[PAD]"] + list(uniques))
+        token_id = {t: i for i, t in enumerate(mp)}
+
+        for (feat, field, ftype), ids in zip(remap_list, new_ids_list):
+            if field not in self.field2id_token:
+                self.field2id_token[field] = mp
+                self.field2token_id[field] = token_id
+            if ftype == FeatureType.TOKEN:
+                feat[field] = ids
+            else:
+                sp = np.cumsum([len(v) for v in feat[field].values])[:-1]
+                feat[field] = np.split(ids, sp)
+
+    def _remove_new_samples(self) -> None:
+        """Drop is_new=='1' rows — transductive phase only (`dataset.py:174`)."""
+        if self.inter_feat is None or "is_new" not in self.inter_feat.columns:
+            return
+        new_id = self.field2token_id["is_new"].get("1")
+        if new_id is None:
+            return
+        keep = self.inter_feat["is_new"] != new_id
+        self.inter_feat = self.inter_feat[keep].reset_index(drop=True)
+
+    # ------------------------------------------------------- feat preparation
+
+    def _user_item_feat_preparation(self) -> None:
+        """Reindex user/item feature tables to dense [0, n) rows
+        (`dataset.py:637-653`): every remapped ID gets exactly one row; IDs
+        absent from the feature file get a NaN row (filled by `_fill_nan`)."""
+        if self.user_feat is not None:
+            new_index = pd.DataFrame({self.uid_field: np.arange(self.user_num)})
+            self.user_feat = pd.merge(
+                new_index, self.user_feat, on=self.uid_field, how="left"
+            )
+        if self.item_feat is not None:
+            new_index = pd.DataFrame({self.iid_field: np.arange(self.item_num)})
+            self.item_feat = pd.merge(
+                new_index, self.item_feat, on=self.iid_field, how="left"
+            )
+
+    def _fill_nan(self) -> None:
+        for feat in self._feats():
+            for field in feat.columns:
+                ftype = self.field2type[field]
+                if ftype == FeatureType.TOKEN:
+                    feat[field] = feat[field].fillna(value=0).astype(np.int64)
+                elif ftype == FeatureType.FLOAT:
+                    feat[field] = feat[field].fillna(value=feat[field].mean())
+                else:
+                    dtype = (
+                        np.int64 if ftype == FeatureType.TOKEN_SEQ else np.float64
+                    )
+                    feat[field] = feat[field].apply(
+                        lambda x: np.array([], dtype=dtype)
+                        if isinstance(x, float)
+                        else x
+                    )
+
+    def _set_label_by_threshold(self) -> None:
+        threshold = self.config["threshold"]
+        if not threshold:
+            return
+        if len(threshold) != 1:
+            raise ValueError("Threshold length should be 1.")
+        self.field2type[self.label_field] = FeatureType.FLOAT
+        self.field2source[self.label_field] = FeatureSource.INTERACTION
+        self.field2seqlen[self.label_field] = 1
+        for field, value in threshold.items():
+            if field not in self.inter_feat.columns:
+                raise ValueError(f"Field [{field}] not in inter_feat.")
+            self.inter_feat[self.label_field] = (
+                self.inter_feat[field] >= value
+            ).astype(np.int64)
+            if field != self.label_field:
+                self.inter_feat = self.inter_feat.drop(columns=[field])
+
+    def _normalize(self) -> None:
+        """Min-max normalization (`dataset.py:682-740`)."""
+        if self.config["normalize_field"] and self.config["normalize_all"]:
+            raise ValueError(
+                "Normalize_field and normalize_all can't be set at the same time."
+            )
+        if self.config["normalize_field"]:
+            fields = self.config["normalize_field"]
+        elif self.config["normalize_all"]:
+            fields = [
+                f
+                for f, t in self.field2type.items()
+                if t in (FeatureType.FLOAT, FeatureType.FLOAT_SEQ)
+            ]
+        else:
+            return
+
+        for field in fields:
+            ftype = self.field2type.get(field)
+            if ftype not in (FeatureType.FLOAT, FeatureType.FLOAT_SEQ):
+                continue
+            for feat in self._field_feats(field):
+                if ftype == FeatureType.FLOAT:
+                    arr = feat[field].values.astype(np.float64)
+                    mx, mn = arr.max(), arr.min()
+                    feat[field] = (
+                        np.ones_like(arr) if mx == mn else (arr - mn) / (mx - mn)
+                    )
+                else:
+                    vals = list(feat[field].values)
+                    flat = np.concatenate(vals) if vals else np.array([])
+                    if flat.size:
+                        mx, mn = flat.max(), flat.min()
+                        flat = (
+                            np.ones_like(flat)
+                            if mx == mn
+                            else (flat - mn) / (mx - mn)
+                        )
+                        sp = np.cumsum([len(v) for v in vals])[:-1]
+                        feat[field] = np.split(flat, sp)
+
+    def _discretization(self) -> None:
+        """Equal-width bucketing of configured numerical features into
+        (value, bucket) pairs for FLEmbedding (`dataset.py:740-838`)."""
+        dis_info = self.config["discretization"] or {}
+        for field, info in dis_info.items():
+            if field not in self.field2type:
+                raise ValueError(f"Field [{field}] does not exist.")
+            n_buckets = int(info.get("bucket_cnt", 10)) if isinstance(info, dict) else int(info)
+            self.field2bucketnum[field] = n_buckets
+            for feat in self._field_feats(field):
+                arr = feat[field].values.astype(np.float64)
+                mn, mx = arr.min(), arr.max()
+                width = (mx - mn) / n_buckets if mx > mn else 1.0
+                bucket = np.minimum(
+                    ((arr - mn) / width).astype(np.int64), n_buckets - 1
+                )
+                feat[field + "_bucket"] = bucket
+
+    def _feats(self) -> List[pd.DataFrame]:
+        return [
+            f
+            for f in (self.inter_feat, self.user_feat, self.item_feat)
+            if f is not None
+        ]
+
+    # ---------------------------------------------------------------- counts
+
+    @property
+    def user_num(self) -> int:
+        return len(self.field2id_token[self.uid_field])
+
+    @property
+    def item_num(self) -> int:
+        return len(self.field2id_token[self.iid_field])
+
+    def num(self, field: str) -> int:
+        ftype = self.field2type.get(field)
+        if ftype is None:
+            raise ValueError(f"Field [{field}] not defined in dataset.")
+        if ftype in (FeatureType.FLOAT, FeatureType.FLOAT_SEQ) and field in (
+            self.config["numerical_features"] or []
+        ):
+            return self.field2bucketnum[field]
+        if ftype not in (FeatureType.TOKEN, FeatureType.TOKEN_SEQ):
+            return self.field2seqlen[field]
+        return len(self.field2id_token[field])
+
+    def __len__(self) -> int:
+        return 0 if self.inter_feat is None else len(self.inter_feat)
+
+    @property
+    def avg_actions_of_users(self) -> float:
+        return float(
+            self.inter_feat.groupby(self.uid_field).size().mean()
+        )
+
+    def token2id(self, field: str, tokens):
+        t2i = self.field2token_id[field]
+        if isinstance(tokens, str):
+            return t2i[tokens]
+        return np.array([t2i[t] for t in tokens])
+
+    def id2token(self, field: str, ids):
+        return self.field2id_token[field][ids]
+
+    # ---------------------------------------------------------------- build
+
+    def build(self) -> List["DatasetSplit"]:
+        """Group/order/split into [train, valid, test] index views."""
+        if self.benchmark_filename_list is not None:
+            cumsum = list(np.cumsum(self.file_size_list))
+            return [
+                self._make_split(np.arange(start, end))
+                for start, end in zip([0] + cumsum[:-1], cumsum)
+            ]
+
+        order = self.config["eval_args"]["order"]
+        n = len(self.inter_feat)
+        index = np.arange(n)
+        if order == "RO":
+            rng = host_rng(self.config["seed"] or 0, "dataset_shuffle")
+            rng.shuffle(index)
+        elif order == "TO":
+            # Fork quirk preserved: the reference's TO sort is commented out
+            # (`dataset.py:1791-1793`) so splits use file order.
+            pass
+        else:
+            raise NotImplementedError(f"The ordering_method [{order}] has not been implemented.")
+
+        split_args = self.config["eval_args"]["split"]
+        mode = list(split_args.keys())[0]
+        group_by = self.config["eval_args"]["group_by"]
+        if mode == "RS":
+            ratios = split_args["RS"]
+            tot = sum(ratios)
+            ratios = [r / tot for r in ratios]
+            if group_by is None or str(group_by).lower() == "none":
+                split_ids = _calcu_split_ids(n, ratios)
+                parts = [
+                    index[start:end]
+                    for start, end in zip([0] + split_ids, split_ids + [n])
+                ]
+            elif group_by == "user":
+                uid = self.inter_feat[self.uid_field].values[index]
+                parts = [[] for _ in ratios]
+                for grouped in _grouped_index(uid):
+                    grouped = index[grouped]
+                    split_ids = _calcu_split_ids(len(grouped), ratios)
+                    for part, start, end in zip(
+                        parts, [0] + split_ids, split_ids + [len(grouped)]
+                    ):
+                        part.extend(grouped[start:end])
+                parts = [np.array(p, dtype=np.int64) for p in parts]
+            else:
+                raise NotImplementedError(
+                    f"The grouping method [{group_by}] has not been implemented."
+                )
+        elif mode == "LS":
+            parts = self._leave_one_out(index, split_args["LS"])
+        else:
+            raise NotImplementedError(
+                f"The splitting_method [{mode}] has not been implemented."
+            )
+        return [self._make_split(p) for p in parts]
+
+    def _leave_one_out(self, index: np.ndarray, leave_one_mode: str):
+        uid = self.inter_feat[self.uid_field].values[index]
+        grouped = list(_grouped_index(uid))
+        leave_one_num = 2 if leave_one_mode == "valid_and_test" else 1
+        next_index = [[] for _ in range(leave_one_num + 1)]
+        for g in grouped:
+            g = list(index[g])
+            tot = len(g)
+            legal = min(leave_one_num, tot - 1)
+            pr = tot - legal
+            next_index[0].extend(g[:pr])
+            for i in range(legal):
+                next_index[-legal + i].append(g[pr])
+                pr += 1
+        if leave_one_mode == "valid_and_test":
+            parts = next_index
+        elif leave_one_mode == "valid_only":
+            parts = [next_index[0], next_index[1], []]
+        elif leave_one_mode == "test_only":
+            parts = [next_index[0], [], next_index[1]]
+        else:
+            raise NotImplementedError(
+                f"The leave_one_mode [{leave_one_mode}] has not been implemented."
+            )
+        return [np.array(p, dtype=np.int64) for p in parts]
+
+    def _make_split(self, index: np.ndarray) -> "DatasetSplit":
+        return DatasetSplit(self, index)
+
+    # ------------------------------------------------------------- exports
+
+    def get_user_feature(self) -> Dict[str, np.ndarray]:
+        """Dense per-user feature arrays keyed by field (row i = user i)."""
+        if self.user_feat is None:
+            return {self.uid_field: np.arange(self.user_num)}
+        return _frame_to_arrays(self.user_feat, self.field2type)
+
+    def get_item_feature(self) -> Dict[str, np.ndarray]:
+        if self.item_feat is None:
+            return {self.iid_field: np.arange(self.item_num)}
+        return _frame_to_arrays(self.item_feat, self.field2type)
+
+    def inter_matrix(self, form: str = "coo", value_field: Optional[str] = None):
+        """Sparse user×item interaction matrix (`dataset.py:1968`)."""
+        import scipy.sparse as sp
+
+        uid = self.inter_feat[self.uid_field].values
+        iid = self.inter_feat[self.iid_field].values
+        data = (
+            np.ones(len(uid))
+            if value_field is None
+            else self.inter_feat[value_field].values
+        )
+        mat = sp.coo_matrix(
+            (data, (uid, iid)), shape=(self.user_num, self.item_num)
+        )
+        return mat.tocsr() if form == "csr" else mat
+
+
+class DatasetSplit:
+    """A phase view over a parent Dataset: interaction rows as numpy arrays."""
+
+    def __init__(self, parent: Dataset, index: np.ndarray):
+        self.parent = parent
+        self.index = np.asarray(index, dtype=np.int64)
+        self.config = parent.config
+        self.uid_field = parent.uid_field
+        self.iid_field = parent.iid_field
+        self.label_field = parent.label_field
+        df = parent.inter_feat.iloc[self.index]
+        self.inter = _frame_to_arrays(df, parent.field2type)
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    @property
+    def user_num(self) -> int:
+        return self.parent.user_num
+
+    @property
+    def item_num(self) -> int:
+        return self.parent.item_num
+
+    def used_ids_per_user(self) -> List[np.ndarray]:
+        """Per-user arrays of interacted item ids within this split."""
+        uid = self.inter[self.uid_field]
+        iid = self.inter[self.iid_field]
+        order = np.argsort(uid, kind="stable")
+        out: List[np.ndarray] = [np.array([], dtype=np.int64)] * self.user_num
+        if len(uid) == 0:
+            return out
+        su, si = uid[order], iid[order]
+        bounds = np.flatnonzero(np.diff(su)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(su)]])
+        for s, e in zip(starts, ends):
+            out[su[s]] = si[s:e]
+        return out
+
+
+def _frame_to_arrays(
+    df: pd.DataFrame, field2type: Dict[str, FeatureType]
+) -> Dict[str, np.ndarray]:
+    """DataFrame → dict of arrays; *_seq fields padded to their max length."""
+    out: Dict[str, np.ndarray] = {}
+    for col in df.columns:
+        ftype = field2type.get(col, FeatureType.FLOAT)
+        if ftype == FeatureType.TOKEN:
+            out[col] = df[col].values.astype(np.int64)
+        elif ftype == FeatureType.FLOAT:
+            out[col] = df[col].values.astype(np.float32)
+        else:
+            vals = list(df[col].values)
+            maxlen = max((len(v) for v in vals), default=0)
+            dtype = np.int64 if ftype == FeatureType.TOKEN_SEQ else np.float32
+            arr = np.zeros((len(vals), maxlen), dtype=dtype)
+            for i, v in enumerate(vals):
+                arr[i, : len(v)] = v
+            out[col] = arr
+            out[col + "_len"] = np.array([len(v) for v in vals], dtype=np.int64)
+    return out
+
+
+def _grouped_index(group_by_list: np.ndarray):
+    """First-appearance-ordered per-key index lists (`dataset.py:1614`)."""
+    index: "OrderedDict[int, List[int]]" = OrderedDict()
+    for i, key in enumerate(group_by_list):
+        index.setdefault(key, []).append(i)
+    return index.values()
+
+
+def _calcu_split_ids(tot: int, ratios: List[float]) -> List[int]:
+    """The reference's exact rounding (`dataset.py:1623-1645`)."""
+    cnt = [int(ratios[i] * tot) for i in range(len(ratios))]
+    cnt[0] = tot - sum(cnt[1:])
+    for i in range(1, len(ratios)):
+        if cnt[0] <= 1:
+            break
+        if 0 < ratios[-i] * tot < 1:
+            cnt[-i] += 1
+            cnt[0] -= 1
+    return list(np.cumsum(cnt)[:-1])

@@ -1,0 +1,76 @@
+"""Generate the tiny atomic-file fixtures used by the data-pipeline tests.
+
+Run from repo root: python tests/assets/make_fixtures.py
+Fixture family:
+  toy          — plain transductive dataset (5 users, 8 items, 21 inters)
+  toy-ind      — same + is_new column marking inductive-only rows + feature files
+  toy-ind_ind  — the inductive eval corpus: benchmark files train/empty/test_filt
+                 containing old+new entities (new users u6,u7 / new items i9,i10)
+"""
+import os
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+def w(path, lines):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+# ---------------- toy (transductive, no features) ----------------
+inter = ["user_id:token\titem_id:token\trating:float\ttimestamp:float"]
+rows = [
+    ("u1","i1",5,1),("u1","i2",4,2),("u1","i3",3,3),("u1","i4",5,4),
+    ("u2","i2",4,5),("u2","i3",2,6),("u2","i5",5,7),("u2","i1",3,8),
+    ("u3","i3",5,9),("u3","i6",4,10),("u3","i7",2,11),("u3","i2",4,12),
+    ("u4","i4",1,13),("u4","i5",5,14),("u4","i8",4,15),("u4","i6",3,16),
+    ("u5","i1",2,17),("u5","i7",5,18),("u5","i8",3,19),("u5","i3",4,20),
+    ("u5","i5",1,21),
+]
+for u,i,r,t in rows:
+    inter.append(f"{u}\t{i}\t{r}\t{t}")
+w(f"{HERE}/toy/toy.inter", inter)
+
+# ---------------- toy-ind (train corpus with is_new + features) ----------------
+inter = ["user_id:token\titem_id:token\trating:float\ttimestamp:float\tis_new:token"]
+for u,i,r,t in rows:
+    inter.append(f"{u}\t{i}\t{r}\t{t}\t-1")
+# inductive-only rows (new user u6 / new item i9) — dropped in transductive phase
+inter += ["u6\ti1\t4\t22\t1", "u1\ti9\t5\t23\t1", "u6\ti9\t3\t24\t1"]
+w(f"{HERE}/toy-ind/toy-ind.inter", inter)
+
+user = ["user_id:token\tage:float\tgender:token"]
+for idx, u in enumerate(["u1","u2","u3","u4","u5","u6"]):
+    user.append(f"{u}\t{20+idx}\t{'M' if idx%2==0 else 'F'}")
+w(f"{HERE}/toy-ind/toy-ind.user", user)
+
+item = ["item_id:token\tprice:float\tcategory:token"]
+cats = ["a","b","a","c","b","a","c","b","c","a"]
+for idx, i in enumerate(["i1","i2","i3","i4","i5","i6","i7","i8","i9","i10"]):
+    item.append(f"{i}\t{float(idx+1)}\t{cats[idx]}")
+w(f"{HERE}/toy-ind/toy-ind.item", item)
+
+# ---------------- toy-ind_ind (inductive eval corpus, benchmark files) -------
+# 'train' = the transductive interactions (old entities first => old ids < new ids)
+train = ["user_id:token\titem_id:token\trating:float\ttimestamp:float"]
+for u,i,r,t in rows:
+    train.append(f"{u}\t{i}\t{r}\t{t}")
+w(f"{HERE}/toy-ind_ind/toy-ind_ind.train.inter", train)
+w(f"{HERE}/toy-ind_ind/toy-ind_ind.empty.inter",
+  ["user_id:token\titem_id:token\trating:float\ttimestamp:float"])
+test = ["user_id:token\titem_id:token\trating:float\ttimestamp:float"]
+# held-out rows: old-old, new-user, new-item, new-new
+test += ["u1\ti5\t4\t30", "u6\ti1\t4\t31", "u6\ti3\t5\t32",
+         "u2\ti9\t4\t33", "u7\ti10\t5\t34", "u7\ti2\t3\t35"]
+w(f"{HERE}/toy-ind_ind/toy-ind_ind.test_filt.inter", test)
+
+# user/item files for the _ind corpus (all entities incl. u7/i10; old first)
+user = ["user_id:token\tage:float\tgender:token"]
+for idx, u in enumerate(["u1","u2","u3","u4","u5","u6","u7"]):
+    user.append(f"{u}\t{20+idx}\t{'M' if idx%2==0 else 'F'}")
+w(f"{HERE}/toy-ind_ind/toy-ind_ind.user", user)
+item = ["item_id:token\tprice:float\tcategory:token"]
+for idx, i in enumerate(["i1","i2","i3","i4","i5","i6","i7","i8","i9","i10"]):
+    item.append(f"{i}\t{float(idx+1)}\t{cats[idx]}")
+w(f"{HERE}/toy-ind_ind/toy-ind_ind.item", item)
+
+print("fixtures written under", HERE)

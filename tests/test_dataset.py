@@ -1,0 +1,190 @@
+"""Data pipeline tests (fixture-driven, like the reference's tests/data)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from oovrec_tpu.config import Config
+from oovrec_tpu.data.dataset import Dataset, _calcu_split_ids
+from oovrec_tpu.data.inductive_dataset import InductiveDataset
+
+ASSETS = os.path.join(os.path.dirname(__file__), "assets")
+
+
+def toy_config(**over):
+    d = {
+        "model": "BPR",
+        "dataset": "toy",
+        "data_path": ASSETS,
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+        "eval_args": {
+            "split": {"RS": [0.8, 0.1, 0.1]},
+            "order": "TO",
+            "group_by": "user",
+            "mode": "full",
+        },
+    }
+    d.update(over)
+    return Config(config_dict=d)
+
+
+def toyind_config(**over):
+    d = {
+        "model": "BPR",
+        "dataset": "toy-ind",
+        "data_path": ASSETS,
+        "load_col": {
+            "inter": ["user_id", "item_id", "rating", "timestamp", "is_new"],
+            "user": ["user_id", "age", "gender"],
+            "item": ["item_id", "price", "category"],
+        },
+        "eval_args": {
+            "split": {"RS": [0.8, 0.1, 0.1]},
+            "order": "TO",
+            "group_by": "user",
+            "mode": "full",
+        },
+    }
+    d.update(over)
+    return Config(config_dict=d)
+
+
+def indind_config(**over):
+    d = toyind_config(**over).as_dict()
+    d["dataset"] = "toy-ind_ind"
+    d["benchmark_filename"] = ["train", "empty", "test_filt"]
+    d["load_col"] = {
+        "inter": ["user_id", "item_id", "rating", "timestamp"],
+        "user": ["user_id", "age", "gender"],
+        "item": ["item_id", "price", "category"],
+    }
+    return Config(config_dict=d)
+
+
+def test_basic_load_and_remap():
+    ds = Dataset(toy_config())
+    # 5 users + PAD, 8 items + PAD
+    assert ds.user_num == 6
+    assert ds.item_num == 9
+    assert len(ds) == 21
+    # remap order = first appearance in the inter file; PAD=0
+    assert ds.field2token_id["user_id"]["[PAD]"] == 0
+    assert ds.field2token_id["user_id"]["u1"] == 1
+    assert ds.field2token_id["item_id"]["i1"] == 1
+    assert ds.field2token_id["item_id"]["i5"] == 5
+    assert list(ds.field2id_token["user_id"][:3]) == ["[PAD]", "u1", "u2"]
+
+
+def test_split_by_ratio_grouped():
+    ds = Dataset(toy_config())
+    train, valid, test = ds.build()
+    # 5 users: u1-u4 have 4 inters (3/0/1), u5 has 5 (4/0/1) per RS 0.8/0.1/0.1
+    # reference rounding: cnt=[tot-sum, floor, floor] then 0<r*tot<1 bump
+    assert len(train) + len(valid) + len(test) == 21
+    assert _calcu_split_ids(4, [0.8, 0.1, 0.1]) == [2, 3]
+    assert _calcu_split_ids(5, [0.8, 0.1, 0.1]) == [3, 4]
+    assert _calcu_split_ids(10, [0.8, 0.1, 0.1]) == [8, 9]
+    assert len(valid) == 5 and len(test) == 5  # one per user each
+
+
+def test_to_order_is_noop_in_transductive():
+    """Fork quirk: TO ordering preserved as file order (`dataset.py:1791`)."""
+    ds = Dataset(toy_config())
+    train, _, _ = ds.build()
+    u1_rows = train.inter["timestamp"][train.inter["user_id"] == 1]
+    assert list(u1_rows) == sorted(u1_rows)  # file order is already temporal
+
+
+def test_remove_new_samples_in_transductive():
+    ds = Dataset(toyind_config())
+    # the 3 is_new=1 rows are dropped
+    assert len(ds) == 21
+    # but u6/i9/i10 still got IDs (they're in the feature files)
+    assert "u6" in ds.field2token_id["user_id"]
+    assert "i9" in ds.field2token_id["item_id"]
+    assert ds.user_num == 7  # PAD + u1..u6
+    assert ds.item_num == 11  # PAD + i1..i10
+
+
+def test_user_item_feature_tables_dense():
+    ds = Dataset(toyind_config())
+    uf = ds.get_user_feature()
+    itf = ds.get_item_feature()
+    assert uf["user_id"].shape == (7,)
+    assert uf["age"].shape == (7,)
+    # PAD row 0 gets mean-imputed age
+    assert uf["age"][0] == pytest.approx(np.mean([20, 21, 22, 23, 24, 25]))
+    assert uf["age"][1] == 20.0  # u1
+    assert itf["price"][1] == 1.0  # i1
+    # token feature remapped: first appearance order M,F -> 1,2
+    assert uf["gender"][1] == 1 and uf["gender"][2] == 2
+
+
+def test_inductive_dataset_keeps_new_and_remaps_vocab():
+    orig = Dataset(toyind_config())
+    ind = InductiveDataset(indind_config())
+    ind.set_orig_dataset(orig)
+    train, empty, test = ind.build()
+    assert len(train) == 21 and len(empty) == 0 and len(test) == 6
+    # old entities occupy the same low IDs as in training (first-appearance
+    # order of the 'train' benchmark file == original inter file order)
+    for tok in ["u1", "u2", "u3", "u4", "u5"]:
+        assert ind.field2token_id["user_id"][tok] == orig.field2token_id["user_id"][tok]
+    # new users get IDs >= n_old (u6 was in orig's user file so it has an
+    # orig id too; u7 is brand new in the _ind corpus)
+    assert ind.field2token_id["user_id"]["u7"] >= 6
+    # feature vocab reconciliation: gender/category ids match training
+    uf_ind = ind.get_user_feature()
+    uf_orig = orig.get_user_feature()
+    n_shared = len(uf_orig["gender"])
+    np.testing.assert_array_equal(
+        uf_ind["gender"][1:n_shared], uf_orig["gender"][1:n_shared]
+    )
+    # float repair: shared rows bit-identical
+    np.testing.assert_array_equal(
+        uf_ind["age"][1:n_shared], uf_orig["age"][1:n_shared]
+    )
+
+
+def test_inductive_pad_row_repair():
+    """PAD-row float means differ between corpora; shared non-PAD rows must
+    still be identical after remap_features."""
+    orig = Dataset(toyind_config())
+    ind = InductiveDataset(indind_config())
+    ind.set_orig_dataset(orig)
+    ind.build()
+    itf_ind = ind.get_item_feature()
+    itf_orig = orig.get_item_feature()
+    n = len(itf_orig["price"])
+    np.testing.assert_array_equal(itf_ind["price"][1:n], itf_orig["price"][1:n])
+
+
+def test_kcore_filtering():
+    c = toy_config(user_inter_num_interval="[5,inf)")
+    ds = Dataset(c)
+    # only u5 has 5 interactions
+    assert ds.user_num == 2  # PAD + u5
+    assert len(ds) == 5
+
+
+def test_val_interval_filtering():
+    c = toy_config(val_interval={"rating": "[4,inf)"})
+    ds = Dataset(c)
+    assert all(r >= 4 for r in ds.inter_feat["rating"].values)
+
+
+def test_rm_dup_inter():
+    c = toy_config(rm_dup_inter="first")
+    ds = Dataset(c)
+    assert len(ds) == 21  # no dups in fixture
+
+
+def test_used_ids_per_user():
+    ds = Dataset(toy_config())
+    train, _, _ = ds.build()
+    used = train.used_ids_per_user()
+    assert len(used) == ds.user_num
+    u1 = ds.field2token_id["user_id"]["u1"]
+    # u1 has 4 inters; RS [0.8,0.1,0.1] with reference rounding → 2/1/1
+    assert len(used[u1]) == 2
