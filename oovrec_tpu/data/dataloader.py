@@ -1,0 +1,401 @@
+"""Batchers: fixed-shape host-side batch assembly for jitted device steps.
+
+Re-implements the reference dataloaders (`recbole/data/dataloader/
+abstract_dataloader.py:118-238`, `general_dataloader.py:27-300`) with one
+structural change for TPU: every batch a loader emits has the SAME shape —
+the final partial batch is padded and carries a `weight` column (1 real /
+0 pad) so jitted train/eval steps compile exactly once.
+
+Layout parity with the reference:
+  * pairwise training: one row per positive with `neg_<item fields>` columns
+    (`abstract_dataloader.py:220-227`); `times = sample_num`.
+  * pointwise training: rows tiled (1+num) times, copies >0 get the sampled
+    negative item (and its joined item features) and label 0
+    (`abstract_dataloader.py:229-235`); layout [positives ∥ neg copies].
+  * neg-sample eval: all of a user's eval rows share a batch; fixed
+    users-per-batch step computed from the largest users
+    (`general_dataloader.py:127-143`); emits (rows, row_idx, positive_u,
+    positive_i).
+  * full-sort eval: one row per user, per-user positive/history id lists
+    (`general_dataloader.py:196-300`), batch = max(1, eval_batch/item_num)
+    users.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from oovrec_tpu.data.dataset import DatasetSplit
+from oovrec_tpu.data.sampler import Sampler
+from oovrec_tpu.utils.enums import InputType
+from oovrec_tpu.utils.seeding import host_rng
+
+Batch = Dict[str, np.ndarray]
+
+
+def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
+    if len(arr) == n:
+        return arr
+    pad_shape = (n - len(arr),) + arr.shape[1:]
+    return np.concatenate([arr, np.zeros(pad_shape, dtype=arr.dtype)])
+
+
+def _join_features(
+    batch: Batch, ids: np.ndarray, feat: Optional[Dict[str, np.ndarray]],
+    id_field: str, prefix: str = "",
+) -> None:
+    """Attach per-row user/item feature columns (the reference's `join`)."""
+    if feat is None:
+        return
+    for field, table in feat.items():
+        if field == id_field or field.endswith("_len"):
+            continue
+        batch[prefix + field] = table[ids]
+
+
+class TrainBatcher:
+    """Training batches with negative sampling (TrainDataLoader analog)."""
+
+    def __init__(
+        self,
+        split: DatasetSplit,
+        sampler: Optional[Sampler],
+        config,
+        input_type: InputType,
+        phase: str = "train",
+        neg_sample_args: Optional[dict] = None,
+        batch_size: Optional[int] = None,
+        shuffle: bool = True,
+    ):
+        self.split = split
+        self.sampler = sampler
+        self.config = config
+        self.input_type = input_type
+        self.phase = phase
+        self.shuffle = shuffle
+        self.uid_field = split.uid_field
+        self.iid_field = split.iid_field
+        self.label_field = split.label_field
+        self.neg_prefix = config["NEG_PREFIX"]
+        self._epoch = 0
+
+        nsa = neg_sample_args or config["train_neg_sample_args"] or {}
+        self.distribution = nsa.get("distribution", "none")
+        self.sample_num = (
+            int(nsa.get("sample_num", 0)) if self.distribution != "none" else 0
+        )
+        if self.distribution == "none" or self.sample_num == 0:
+            self.times = 1
+            self.mode = "plain"
+        elif input_type == InputType.PAIRWISE:
+            self.times = self.sample_num
+            self.mode = "pairwise"
+        else:
+            self.times = 1 + self.sample_num
+            self.mode = "pointwise"
+
+        bs = batch_size or config["train_batch_size"]
+        if self.mode == "plain":
+            self.step = bs
+            self.batch_size = bs
+        else:
+            # reference alignment: batch holds `step` positives, expanded
+            # to step*times rows (`general_dataloader.py:48-57`)
+            self.step = max(bs // self.times, 1)
+            self.batch_size = self.step * self.times
+
+        self.user_feat = split.parent.get_user_feature() if split.parent.user_feat is not None else None
+        self.item_feat = split.parent.get_item_feature() if split.parent.item_feat is not None else None
+
+    def __len__(self) -> int:
+        return (len(self.split) + self.step - 1) // self.step
+
+    @property
+    def rows_per_batch(self) -> int:
+        """Device-visible rows per emitted batch."""
+        if self.mode == "pairwise":
+            return self.step * self.times
+        if self.mode == "pointwise":
+            return self.step * self.times
+        return self.step
+
+    def __iter__(self) -> Iterator[Batch]:
+        n = len(self.split)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = host_rng(
+                int(self.config["seed"] or 0) + self._epoch, f"train_shuffle_{self.phase}"
+            )
+            rng.shuffle(order)
+        self._epoch += 1
+        for start in range(0, n, self.step):
+            idx = order[start : start + self.step]
+            yield self._make_batch(idx)
+
+    def _make_batch(self, idx: np.ndarray) -> Batch:
+        inter = self.split.inter
+        rows = {k: v[idx] for k, v in inter.items()}
+        users = rows[self.uid_field]
+        items = rows[self.iid_field]
+        n_real = len(idx)
+
+        if self.mode == "pairwise":
+            neg = self.sampler.sample_negatives(self.phase, users, self.sample_num)
+            # tile rows `times` and align negatives column-major like the
+            # reference's repeat layout
+            batch: Batch = {
+                k: np.tile(v, (self.times,) + (1,) * (v.ndim - 1))
+                for k, v in rows.items()
+            }
+            neg_flat = neg.flatten(order="F")
+            batch[self.neg_prefix + self.iid_field] = neg_flat
+            _join_features(batch, batch[self.iid_field], self.item_feat, self.iid_field)
+            _join_features(batch, neg_flat, self.item_feat, self.iid_field, prefix=self.neg_prefix)
+            _join_features(batch, batch[self.uid_field], self.user_feat, self.uid_field)
+            weight = np.zeros(self.step * self.times, dtype=np.float32)
+            weight[: n_real * self.times] = 1.0
+            total = self.step * self.times
+        elif self.mode == "pointwise":
+            neg = self.sampler.sample_negatives(self.phase, users, self.sample_num)
+            batch = {
+                k: np.tile(v, (self.times,) + (1,) * (v.ndim - 1))
+                for k, v in rows.items()
+            }
+            neg_flat = neg.flatten(order="F")
+            batch[self.iid_field] = np.concatenate([items, neg_flat])
+            label = np.zeros(n_real * self.times, dtype=np.float32)
+            label[:n_real] = 1.0
+            batch[self.label_field] = label
+            _join_features(batch, batch[self.iid_field], self.item_feat, self.iid_field)
+            _join_features(batch, batch[self.uid_field], self.user_feat, self.uid_field)
+            weight = np.ones(n_real * self.times, dtype=np.float32)
+            total = self.step * self.times
+        else:
+            batch = rows
+            _join_features(batch, items, self.item_feat, self.iid_field)
+            _join_features(batch, users, self.user_feat, self.uid_field)
+            weight = np.ones(n_real, dtype=np.float32)
+            total = self.step
+
+        batch = {k: _pad_to(np.asarray(v), total) for k, v in batch.items()}
+        batch["weight"] = _pad_to(weight, total)
+        return batch
+
+
+class FullSortEvalBatcher:
+    """Full-corpus ranking eval batches (FullSortEvalDataLoader analog).
+
+    Emits per batch: `user_id (U,)`, padded `pos_items (U,P)` + `pos_len`,
+    padded `hist_items (U,H)` + `hist_len`, and `weight (U,)`. History =
+    (cumulative used ids for this phase) minus this split's positives
+    (`general_dataloader.py:220-254`).
+    """
+
+    def __init__(
+        self,
+        split: DatasetSplit,
+        sampler: Optional[Sampler],
+        config,
+        phase: str = "test",
+        batch_size: Optional[int] = None,
+    ):
+        self.split = split
+        self.config = config
+        self.phase = phase
+        self.uid_field = split.uid_field
+        self.iid_field = split.iid_field
+        self.item_num = split.item_num
+
+        bs = batch_size or config["eval_batch_size"]
+        self.users_per_batch = max(1, bs // self.item_num)
+
+        pos_per_user = split.used_ids_per_user()
+        uids = np.unique(split.inter[self.uid_field])
+        self.uid_list = uids[uids != 0]
+
+        if sampler is not None and phase in sampler.used_ids:
+            used = sampler.used_ids[phase]
+        else:
+            used = [np.array([], dtype=np.int64)] * split.user_num
+
+        self._pos: List[np.ndarray] = []
+        self._hist: List[np.ndarray] = []
+        for u in self.uid_list:
+            pos = np.asarray(pos_per_user[u], dtype=np.int64)
+            hist = np.setdiff1d(used[u], pos)
+            self._pos.append(pos)
+            self._hist.append(hist)
+        self.max_pos = max((len(p) for p in self._pos), default=1) or 1
+        self.max_hist = max((len(h) for h in self._hist), default=1) or 1
+
+    def __len__(self) -> int:
+        u = len(self.uid_list)
+        return (u + self.users_per_batch - 1) // self.users_per_batch
+
+    def __iter__(self) -> Iterator[Batch]:
+        U = self.users_per_batch
+        for start in range(0, len(self.uid_list), U):
+            sel = slice(start, start + U)
+            users = self.uid_list[sel]
+            n_real = len(users)
+            pos = np.zeros((U, self.max_pos), dtype=np.int64)
+            pos_len = np.zeros(U, dtype=np.int64)
+            hist = np.zeros((U, self.max_hist), dtype=np.int64)
+            hist_len = np.zeros(U, dtype=np.int64)
+            for i, (p, h) in enumerate(
+                zip(self._pos[sel], self._hist[sel])
+            ):
+                pos[i, : len(p)] = p
+                pos_len[i] = len(p)
+                hist[i, : len(h)] = h
+                hist_len[i] = len(h)
+            weight = np.zeros(U, dtype=np.float32)
+            weight[:n_real] = 1.0
+            yield {
+                "user_id": _pad_to(users, U),
+                "pos_items": pos,
+                "pos_len": pos_len,
+                "hist_items": hist,
+                "hist_len": hist_len,
+                "weight": weight,
+            }
+
+
+class NegSampleEvalBatcher:
+    """Sampled-negative eval batches (NegSampleEvalDataLoader analog).
+
+    Used for `uniN` / `popN` eval modes (e.g. the paper's `uni250` validation
+    protocol). All of a user's eval rows are in one batch; the fixed
+    users-per-batch `step` is derived like the reference
+    (`general_dataloader.py:127-143`): sort expanded user sizes descending
+    and take as many of the largest as fit in `eval_batch_size`.
+
+    Emits per batch:
+      rows: every interaction field expanded (per user: positives first,
+            then negative copies column-major), plus `label`
+      row_user: batch-local user slot of each expanded row
+      positive_u / positive_i: batch-local slots / item ids of true positives
+      n_users, weights
+    """
+
+    def __init__(
+        self,
+        split: DatasetSplit,
+        sampler: Optional[Sampler],
+        config,
+        phase: str,
+        neg_sample_args: dict,
+        batch_size: Optional[int] = None,
+    ):
+        self.split = split
+        self.sampler = sampler
+        self.config = config
+        self.phase = phase
+        self.uid_field = split.uid_field
+        self.iid_field = split.iid_field
+        self.label_field = split.label_field
+        self.item_num = split.item_num
+        self.distribution = neg_sample_args.get("distribution", "uniform")
+        self.sample_num = int(neg_sample_args.get("sample_num", 1))
+        self.times = 1 + self.sample_num
+
+        # group rows per user in uid-ascending order
+        uid = split.inter[self.uid_field]
+        order = np.argsort(uid, kind="stable")
+        self._order = order
+        su = uid[order]
+        uniq, starts = np.unique(su, return_index=True)
+        ends = np.concatenate([starts[1:], [len(su)]])
+        self.uid_list = uniq
+        self._slices = list(zip(starts, ends))
+        self.uid2items_num = ends - starts
+
+        bs = batch_size or config["eval_batch_size"]
+        sizes = np.sort(self.uid2items_num * self.times)[::-1]
+        step, acc = 1, int(sizes[0]) if len(sizes) else 1
+        for i in range(1, len(sizes)):
+            if acc + sizes[i] > bs:
+                break
+            step += 1
+            acc += int(sizes[i])
+        self.step = step
+        self.max_rows = int(acc)
+        self.max_users = step
+        self.max_pos = int(
+            np.sort(self.uid2items_num)[::-1][:step].sum()
+        ) if len(self.uid2items_num) else 1
+
+        self.user_feat = (
+            split.parent.get_user_feature()
+            if split.parent.user_feat is not None
+            else None
+        )
+        self.item_feat = (
+            split.parent.get_item_feature()
+            if split.parent.item_feat is not None
+            else None
+        )
+
+    def __len__(self) -> int:
+        u = len(self.uid_list)
+        return (u + self.step - 1) // self.step
+
+    def __iter__(self) -> Iterator[Batch]:
+        inter = self.split.inter
+        for bstart in range(0, len(self.uid_list), self.step):
+            users = self.uid_list[bstart : bstart + self.step]
+            cols: Dict[str, List[np.ndarray]] = {k: [] for k in inter.keys()}
+            labels: List[np.ndarray] = []
+            row_user: List[np.ndarray] = []
+            positive_u: List[np.ndarray] = []
+            positive_i: List[np.ndarray] = []
+            for slot, u in enumerate(users):
+                s, e = self._slices[bstart + slot]
+                ridx = self._order[s:e]
+                n_pos = e - s
+                pos_items = inter[self.iid_field][ridx]
+                neg = self.sampler.sample_negatives(
+                    self.phase, inter[self.uid_field][ridx], self.sample_num
+                ).flatten(order="F")
+                for k in inter.keys():
+                    v = inter[k][ridx]
+                    tiled = np.tile(v, (self.times,) + (1,) * (v.ndim - 1))
+                    if k == self.iid_field:
+                        tiled = np.concatenate([pos_items, neg])
+                    cols[k].append(tiled)
+                lab = np.zeros(n_pos * self.times, dtype=np.float32)
+                lab[:n_pos] = 1.0
+                labels.append(lab)
+                row_user.append(np.full(n_pos * self.times, slot, dtype=np.int64))
+                positive_u.append(np.full(n_pos, slot, dtype=np.int64))
+                positive_i.append(pos_items)
+
+            batch: Batch = {
+                k: _pad_to(np.concatenate(v), self.max_rows) for k, v in cols.items()
+            }
+            nrows = sum(len(x) for x in labels)
+            batch[self.label_field] = _pad_to(
+                np.concatenate(labels), self.max_rows
+            )
+            batch["row_user"] = _pad_to(np.concatenate(row_user), self.max_rows)
+            w = np.zeros(self.max_rows, dtype=np.float32)
+            w[:nrows] = 1.0
+            batch["weight"] = w
+            _join_features(
+                batch, batch[self.iid_field], self.item_feat, self.iid_field
+            )
+            _join_features(
+                batch, batch[self.uid_field], self.user_feat, self.uid_field
+            )
+
+            pu = np.concatenate(positive_u)
+            pi = np.concatenate(positive_i)
+            batch["positive_u"] = _pad_to(pu, self.max_pos)
+            batch["positive_i"] = _pad_to(pi, self.max_pos)
+            pw = np.zeros(self.max_pos, dtype=np.float32)
+            pw[: len(pu)] = 1.0
+            batch["positive_weight"] = pw
+            batch["n_users"] = np.array(len(users), dtype=np.int64)
+            yield batch

@@ -1,0 +1,77 @@
+"""Dataset/dataloader factory glue (`recbole/data/utils.py:28-367` analog)."""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Tuple
+
+from oovrec_tpu.data.dataloader import (
+    FullSortEvalBatcher,
+    NegSampleEvalBatcher,
+    TrainBatcher,
+)
+from oovrec_tpu.data.dataset import Dataset
+from oovrec_tpu.data.inductive_dataset import InductiveDataset
+from oovrec_tpu.data.sampler import Sampler
+from oovrec_tpu.utils.enums import InputType
+
+
+def create_dataset(config, inductive: bool = False, removal_setting=None):
+    """Build the Dataset (or InductiveDataset when `inductive`)."""
+    if inductive:
+        return InductiveDataset(config, removal_setting=removal_setting)
+    return Dataset(config)
+
+
+def eval_mode_to_neg_args(mode: str) -> Optional[dict]:
+    """'uni250' → {'distribution':'uniform','sample_num':250}; 'full'/'labeled' → None."""
+    if mode in ("full", "labeled"):
+        return None
+    m = re.fullmatch(r"(uni|pop)(\d+)", mode)
+    if not m:
+        raise NotImplementedError(f"eval mode [{mode}] is not supported")
+    dist = "uniform" if m.group(1) == "uni" else "popularity"
+    return {"distribution": dist, "sample_num": int(m.group(2))}
+
+
+def data_preparation(config, dataset) -> Tuple[TrainBatcher, object, object]:
+    """Split + samplers + three batchers (train, valid, test).
+
+    Mirrors `recbole/data/utils.py:144-208`: cumulative-phase sampler built
+    over the three splits; valid/test loader type chosen from the per-phase
+    eval mode ('full' → full-sort, 'uniN'/'popN' → sampled-negative eval).
+    """
+    built = dataset.build()
+    train_split, valid_split, test_split = built[0], built[1], built[2]
+
+    nsa = config["train_neg_sample_args"] or {"distribution": "none"}
+    sampler = Sampler(
+        ["train", "valid", "test"],
+        [train_split, valid_split, test_split],
+        distribution=nsa.get("distribution", "uniform")
+        if nsa.get("distribution", "none") != "none"
+        else "uniform",
+        alpha=nsa.get("alpha", 1.0),
+        seed=int(config["seed"] or 2020),
+        repeatable=bool(config["repeatable"]),
+    )
+
+    input_type = config["MODEL_INPUT_TYPE"] or InputType.POINTWISE
+    train_loader = TrainBatcher(
+        train_split, sampler, config, input_type, phase="train"
+    )
+
+    def eval_loader(split, phase):
+        mode = config["eval_args"]["mode"][
+            "valid" if phase == "valid" else "test"
+        ]
+        neg_args = eval_mode_to_neg_args(mode)
+        if neg_args is None:
+            return FullSortEvalBatcher(split, sampler, config, phase=phase)
+        return NegSampleEvalBatcher(
+            split, sampler, config, phase=phase, neg_sample_args=neg_args
+        )
+
+    valid_loader = eval_loader(valid_split, "valid") if len(valid_split) else None
+    test_loader = eval_loader(test_split, "test") if len(test_split) else None
+    return train_loader, valid_loader, test_loader
