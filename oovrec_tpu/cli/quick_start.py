@@ -1,0 +1,131 @@
+"""run / objective_function — the end-to-end driver.
+
+Equivalent of `recbole/quick_start/quick_start.py:42-168` +
+`src/run_recbole.py:39-200`: config → dataset → loaders → model →
+trainer.fit → test evaluation. Returns the result dict the reference's
+`objective_function` produces (used by tests and hyper-tuning).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from oovrec_tpu.config import Config
+from oovrec_tpu.data.utils import create_dataset, data_preparation
+from oovrec_tpu.eval.collector import calculate_valid_score
+from oovrec_tpu.inductive.factory import build_embedder_state
+from oovrec_tpu.inductive.mapper import RandomOOVMapper
+from oovrec_tpu.inductive.spec import InductiveSpec
+from oovrec_tpu.models import get_model_class
+from oovrec_tpu.train.trainer import Trainer
+from oovrec_tpu.utils.logging import init_logger
+from oovrec_tpu.utils.seeding import init_seed
+
+
+def build_model_and_state(config, dataset, mode: str = "transductive",
+                          n_entities=None):
+    """Instantiate the model + init params + embedder state.
+
+    `n_entities=(n_users, n_items)` overrides table sizes when rebuilding a
+    model against an inductive corpus with the ORIGINAL counts
+    (`perform_hashing.py:141-163`).
+    """
+    cls = get_model_class(config["model"])
+    spec = InductiveSpec.from_config(config)
+    if not spec.active:
+        spec = None
+
+    n_users, n_items = n_entities or (dataset.user_num, dataset.item_num)
+    kwargs: Dict[str, Any] = dict(
+        n_users=n_users,
+        n_items=n_items,
+        embedding_size=int(config.get("embedding_size", 64)),
+        spec=spec,
+        uid_field=config["USER_ID_FIELD"],
+        iid_field=config["ITEM_ID_FIELD"],
+        label_field=config["LABEL_FIELD"],
+        neg_prefix=config["NEG_PREFIX"],
+    )
+    if config["model"] == "DirectAU":
+        kwargs["gamma"] = float(config.get("gamma", 1.0))
+    model = cls(**kwargs)
+
+    estate = {}
+    if spec is not None and (spec.needs_features or spec.embedder in ("lsh", "slsh")):
+        estate = build_embedder_state(
+            spec, dataset, n_users, n_items, mode=mode,
+            seed=int(config["seed"] or 2020),
+        )
+
+    # init params by tracing the loss on a minimal template batch
+    uid = config["USER_ID_FIELD"]
+    iid = config["ITEM_ID_FIELD"]
+    template = {
+        uid: np.zeros(2, np.int32),
+        iid: np.zeros(2, np.int32),
+        config["NEG_PREFIX"] + iid: np.zeros(2, np.int32),
+        config["LABEL_FIELD"]: np.zeros(2, np.float32),
+        "weight": np.ones(2, np.float32),
+    }
+    if spec is not None:
+        for f in (uid, iid, config["NEG_PREFIX"] + iid):
+            template[f + "_oov"] = np.zeros(2, np.int32)
+            template[f + "_bucket"] = np.zeros(2, np.int32)
+    est = {k: np.asarray(v) for k, v in estate.items()}
+    variables = model.init(
+        jax.random.key(int(config["seed"] or 2020)),
+        template, est, method=model.calculate_loss,
+    )
+    return model, variables, estate
+
+
+def run(
+    model: Optional[str] = None,
+    dataset: Optional[str] = None,
+    config_file_list: Optional[List[str]] = None,
+    config_dict: Optional[Dict[str, Any]] = None,
+    saved: bool = True,
+):
+    """Full train+eval run (`quick_start.py:42` run_recbole analog)."""
+    config = Config(model, dataset, config_file_list, config_dict)
+    init_seed(int(config["seed"] or 2020), config["reproducibility"])
+    logger = init_logger(config)
+
+    ds = create_dataset(config)
+    train_loader, valid_loader, test_loader = data_preparation(config, ds)
+
+    model_obj, variables, estate = build_model_and_state(config, ds)
+    trainer = Trainer(config, model_obj, variables, estate)
+
+    best_valid_score, best_valid_result = trainer.fit(
+        train_loader, valid_loader, saved=saved
+    )
+    test_result = trainer.evaluate(test_loader, load_best_model=saved)
+
+    logger.info(f"best valid: {best_valid_result}")
+    logger.info(f"test result: {test_result}")
+    return {
+        "best_valid_score": best_valid_score,
+        "valid_score_bigger": config["valid_metric_bigger"],
+        "best_valid_result": best_valid_result,
+        "test_result": test_result,
+        "trainer": trainer,
+        "config": config,
+        "dataset": ds,
+    }
+
+
+def objective_function(config_dict=None, config_file_list=None, saved: bool = False):
+    """Hyper-tuning / test objective (`quick_start.py:131` analog)."""
+    res = run(
+        config_dict=config_dict, config_file_list=config_file_list, saved=saved
+    )
+    return {
+        "best_valid_score": res["best_valid_score"],
+        "valid_score_bigger": res["valid_score_bigger"],
+        "best_valid_result": res["best_valid_result"],
+        "test_result": res["test_result"],
+    }

@@ -1,0 +1,100 @@
+"""Jitted full-sort / sampled-negative scoring steps.
+
+The retrieval eval kernel: score a block of users against the item corpus,
+mask PAD + history, build the positive matrix, take top-k — all on device
+in one compiled function (the reference materializes score matrices and
+calls torch.topk per batch, `trainer.py:526-564`, `inductive/evaluator.py:70-95`).
+Only the small (U, maxk) hit matrices travel back to the host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -jnp.inf
+
+
+def mask_and_topk(
+    scores: jnp.ndarray,        # (U, N)
+    hist_items: jnp.ndarray,    # (U, H) padded with 0
+    hist_len: jnp.ndarray,      # (U,)
+    pos_items: jnp.ndarray,     # (U, P) padded with 0
+    pos_len: jnp.ndarray,       # (U,)
+    maxk: int,
+    perm: Optional[jnp.ndarray] = None,  # (N,) tie-break permutation
+    item_mask: Optional[jnp.ndarray] = None,  # (N,) 1 = keep column
+):
+    """PAD/history masking + positive matrix + top-k.
+
+    Masking mirrors `evaluator.py:92-94` (scores[:,0]=-inf; history→-inf).
+    `perm` implements the FilteredCollector's perturbed-hits tie-breaking
+    (`filtered_collector.py:38-55`): top-k runs on column-permuted scores
+    and indices map back through the permutation.
+    `item_mask` restricts the corpus to an item slice (old/new split).
+    Returns (topk_idx, pos_idx, slice_pos_len) each (U, k)/(U,).
+    """
+    U, N = scores.shape
+    H = hist_items.shape[1]
+    P = pos_items.shape[1]
+    row = jnp.arange(U)[:, None]
+
+    scores = scores.at[:, 0].set(NEG_INF)
+    hist_valid = jnp.arange(H)[None, :] < hist_len[:, None]
+    scores = scores.at[row, hist_items].min(
+        jnp.where(hist_valid, NEG_INF, jnp.inf)
+    )
+    if item_mask is not None:
+        scores = jnp.where(item_mask[None, :] > 0, scores, NEG_INF)
+
+    pos_valid = jnp.arange(P)[None, :] < pos_len[:, None]
+    if item_mask is not None:
+        pos_valid = pos_valid & (item_mask[pos_items] > 0)
+    pos_matrix = jnp.zeros((U, N), jnp.int32)
+    pos_matrix = pos_matrix.at[row, pos_items].max(pos_valid.astype(jnp.int32))
+    pos_matrix = pos_matrix.at[:, 0].set(0)
+    slice_pos_len = jnp.sum(pos_valid, axis=1)
+
+    if perm is not None:
+        _, topk_p = jax.lax.top_k(scores[:, perm], maxk)
+        topk_idx = perm[topk_p]
+    else:
+        _, topk_idx = jax.lax.top_k(scores, maxk)
+    pos_idx = jnp.take_along_axis(pos_matrix, topk_idx, axis=1)
+    return topk_idx, pos_idx, slice_pos_len
+
+
+def scatter_scores(
+    row_user: jnp.ndarray,      # (R,) batch-local user slot per scored row
+    item_ids: jnp.ndarray,      # (R,)
+    scores: jnp.ndarray,        # (R,)
+    weight: jnp.ndarray,        # (R,)
+    n_users: int,
+    n_items: int,
+):
+    """Sampled-negative eval: scatter row scores into a (U, n_items) −inf
+    matrix (`trainer.py:547-564` `_neg_sample_batch_eval`)."""
+    mat = jnp.full((n_users, n_items), NEG_INF, scores.dtype)
+    # padded rows all target slot 0/item 0 with weight 0 — send them to a
+    # dummy row instead so they can't collide with real scores
+    safe_row = jnp.where(weight > 0, row_user, n_users - 1)
+    safe_item = jnp.where(weight > 0, item_ids, 0)
+    mat = mat.at[safe_row, safe_item].max(
+        jnp.where(weight > 0, scores, NEG_INF)
+    )
+    return mat
+
+
+def positives_matrix(
+    positive_u: jnp.ndarray, positive_i: jnp.ndarray,
+    positive_weight: jnp.ndarray, n_users: int, n_items: int,
+):
+    mat = jnp.zeros((n_users, n_items), jnp.int32)
+    mat = mat.at[positive_u, positive_i].max(
+        (positive_weight > 0).astype(jnp.int32)
+    )
+    mat = mat.at[:, 0].set(0)
+    return mat

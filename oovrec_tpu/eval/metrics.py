@@ -1,0 +1,144 @@
+"""Metric formulas — NumPy re-implementations, value-parity with
+`recbole/evaluator/metrics.py` + `base_metric.py`.
+
+Top-k metrics consume `pos_index` (n_users, K) bool — whether the j-th
+ranked item is a positive — and `pos_len` (n_users,), and produce per-user
+values for every cutoff 1..K; `topk_result` means over users (nan rows
+dropped) and rounds. Value metrics consume pooled (preds, trues).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+# ----------------------------------------------------------- top-k metrics
+
+
+def hit_(pos_index: np.ndarray, pos_len=None) -> np.ndarray:
+    result = np.cumsum(pos_index, axis=1)
+    return (result > 0).astype(int)
+
+
+def mrr_(pos_index: np.ndarray, pos_len=None) -> np.ndarray:
+    idxs = pos_index.argmax(axis=1)
+    result = np.zeros_like(pos_index, dtype=np.float64)
+    for row, idx in enumerate(idxs):
+        if pos_index[row, idx] > 0:
+            result[row, idx:] = 1.0 / (idx + 1)
+        else:
+            result[row, idx:] = 0.0
+    return result
+
+
+def map_(pos_index: np.ndarray, pos_len: np.ndarray) -> np.ndarray:
+    pre = pos_index.cumsum(axis=1) / np.arange(1, pos_index.shape[1] + 1)
+    sum_pre = np.cumsum(pre * pos_index.astype(np.float64), axis=1)
+    len_rank = np.full_like(pos_len, pos_index.shape[1])
+    actual_len = np.where(pos_len > len_rank, len_rank, pos_len)
+    result = np.zeros_like(pos_index, dtype=np.float64)
+    for row, lens in enumerate(actual_len):
+        ranges = np.arange(1, pos_index.shape[1] + 1)
+        ranges[lens:] = ranges[lens - 1]
+        result[row] = sum_pre[row] / ranges
+    return result
+
+
+def recall_(pos_index: np.ndarray, pos_len: np.ndarray) -> np.ndarray:
+    return np.cumsum(pos_index, axis=1) / pos_len.reshape(-1, 1)
+
+
+def ndcg_(pos_index: np.ndarray, pos_len: np.ndarray) -> np.ndarray:
+    len_rank = np.full_like(pos_len, pos_index.shape[1])
+    idcg_len = np.where(pos_len > len_rank, len_rank, pos_len)
+
+    iranks = np.zeros_like(pos_index, dtype=np.float64)
+    iranks[:, :] = np.arange(1, pos_index.shape[1] + 1)
+    idcg = np.cumsum(1.0 / np.log2(iranks + 1), axis=1)
+    for row, idx in enumerate(idcg_len):
+        idcg[row, idx:] = idcg[row, idx - 1]
+
+    ranks = np.zeros_like(pos_index, dtype=np.float64)
+    ranks[:, :] = np.arange(1, pos_index.shape[1] + 1)
+    dcg = 1.0 / np.log2(ranks + 1)
+    dcg = np.cumsum(np.where(pos_index, dcg, 0), axis=1)
+    return dcg / idcg
+
+
+def precision_(pos_index: np.ndarray, pos_len=None) -> np.ndarray:
+    return pos_index.cumsum(axis=1) / np.arange(1, pos_index.shape[1] + 1)
+
+
+TOPK_METRICS = {
+    "hit": hit_,
+    "mrr": mrr_,
+    "map": map_,
+    "recall": recall_,
+    "ndcg": ndcg_,
+    "precision": precision_,
+}
+
+# ----------------------------------------------------------- value metrics
+
+
+def _binary_clf_curve(trues: np.ndarray, preds: np.ndarray):
+    """fps/tps at decreasing thresholds (sklearn-equivalent,
+    `recbole/evaluator/utils.py`)."""
+    trues = trues == 1
+    desc_idx = np.argsort(preds, kind="mergesort")[::-1]
+    preds = preds[desc_idx]
+    trues = trues[desc_idx]
+    distinct = np.where(np.diff(preds))[0]
+    threshold_idxs = np.r_[distinct, trues.size - 1]
+    tps = np.cumsum(trues)[threshold_idxs]
+    fps = 1 + threshold_idxs - tps
+    return fps, tps
+
+
+def auc_(preds: np.ndarray, trues: np.ndarray) -> float:
+    fps, tps = _binary_clf_curve(trues, preds)
+    if len(fps) > 2:
+        optimal = np.where(
+            np.r_[True, np.logical_or(np.diff(fps, 2), np.diff(tps, 2)), True]
+        )[0]
+        fps = fps[optimal]
+        tps = tps[optimal]
+    tps = np.r_[0, tps]
+    fps = np.r_[0, fps]
+    if fps[-1] <= 0 or tps[-1] <= 0:
+        return float("nan")
+    fpr = fps / fps[-1]
+    tpr = tps / tps[-1]
+    return float(np.trapz(tpr, fpr))
+
+
+def mae_(preds, trues) -> float:
+    return float(np.mean(np.abs(trues - preds)))
+
+
+def rmse_(preds, trues) -> float:
+    return float(np.sqrt(np.mean((trues - preds) ** 2)))
+
+
+def logloss_(preds, trues) -> float:
+    eps = 1e-15
+    preds = np.clip(np.float64(preds), eps, 1 - eps)
+    loss = np.sum(-trues * np.log(preds) - (1 - trues) * np.log(1 - preds))
+    return float(loss / len(preds))
+
+
+VALUE_METRICS = {"auc": auc_, "mae": mae_, "rmse": rmse_, "logloss": logloss_}
+SMALLER_METRICS = {"mae", "rmse", "logloss"}
+
+
+def topk_result(
+    metric: str, value: np.ndarray, topk: List[int], decimal_place: int
+) -> Dict[str, float]:
+    """Mean over users (nan rows dropped), per requested cutoff."""
+    out = {}
+    nan_rows = np.isnan(value).any(axis=1)
+    avg = value[~nan_rows].mean(axis=0)
+    for k in topk:
+        out[f"{metric}@{k}"] = round(float(avg[k - 1]), decimal_place)
+    return out

@@ -1,0 +1,196 @@
+"""Evaluation runner: loader → jitted device step → collector → metrics.
+
+Equivalent of `Trainer.evaluate` (`recbole/trainer/trainer.py:566-642`) for
+both eval protocols:
+  * full-sort ranking (FullSortEvalBatcher batches)
+  * sampled-negative ranking / value eval (NegSampleEvalBatcher batches,
+    the paper's `uni250` validation protocol)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oovrec_tpu.data.dataloader import FullSortEvalBatcher, NegSampleEvalBatcher
+from oovrec_tpu.eval.collector import Collector, Evaluator
+from oovrec_tpu.eval.full_sort import mask_and_topk, positives_matrix, scatter_scores
+from oovrec_tpu.utils.enums import EvaluatorType
+
+
+def to_device_batch(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Cast host batches to device dtypes (int64→int32, float64→float32).
+
+    All IDs/buckets are < 2^31 by design (hashing happens on the host in
+    int64); the device never needs 64-bit integers.
+    """
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        if v.dtype == np.int64:
+            v = v.astype(np.int32)
+        elif v.dtype == np.float64:
+            v = v.astype(np.float32)
+        out[k] = v
+    return out
+
+
+class EvalRunner:
+    def __init__(self, model, config, estate=None):
+        self.model = model
+        self.config = config
+        self.estate = estate
+        self.maxk = max(config["topk"])
+        self.eval_type = config["eval_type"]
+        self._full_step = None
+        self._neg_step = None
+        self._predict = None
+
+    # ---------------------------------------------------------- full sort
+
+    def _make_full_step(self):
+        model, maxk = self.model, self.maxk
+
+        @jax.jit
+        def step(variables, batch, estate):
+            scores = model.apply(
+                variables, batch, estate, method=model.full_sort_scores
+            )
+            return mask_and_topk(
+                scores,
+                batch["hist_items"], batch["hist_len"],
+                batch["pos_items"], batch["pos_len"],
+                maxk,
+            )
+
+        return step
+
+    # ------------------------------------------------------- neg-sample
+
+    def _make_neg_step(self, n_items: int, n_users: int):
+        model, maxk = self.model, self.maxk
+
+        @jax.jit
+        def step(variables, batch, estate):
+            scores = model.apply(variables, batch, estate, method=model.predict)
+            mat = scatter_scores(
+                batch["row_user"], batch[model.iid_field], scores,
+                batch["weight"], n_users, n_items,
+            )
+            mat = mat.at[:, 0].set(-jnp.inf)
+            pos = positives_matrix(
+                batch["positive_u"], batch["positive_i"],
+                batch["positive_weight"], n_users, n_items,
+            )
+            _, topk_idx = jax.lax.top_k(mat, maxk)
+            pos_idx = jnp.take_along_axis(pos, topk_idx, axis=1)
+            pos_len = jnp.sum(pos, axis=1)
+            return topk_idx, pos_idx, pos_len
+
+        return step
+
+    def _make_predict(self):
+        model = self.model
+
+        @jax.jit
+        def step(variables, batch, estate):
+            return model.apply(variables, batch, estate, method=model.predict)
+
+        return step
+
+    # ------------------------------------------------------------ driver
+
+    def evaluate(
+        self,
+        variables,
+        eval_loader,
+        show_progress: bool = False,
+        sample_eval_ratio: Optional[float] = None,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        """Run one evaluation pass; returns OrderedDict of metrics.
+
+        `sample_eval_ratio` reproduces the InductiveTrainer's random
+        batch-skipping sampled validation (`trainer.py:1916-1921`).
+        """
+        collector = Collector(self.config)
+        estate = _device_estate(self.estate)
+
+        if isinstance(eval_loader, FullSortEvalBatcher):
+            if self._full_step is None:
+                self._full_step = self._make_full_step()
+            for i, batch in enumerate(eval_loader):
+                if (
+                    sample_eval_ratio is not None
+                    and i >= 1
+                    and rng is not None
+                    and rng.random() > sample_eval_ratio
+                ):
+                    continue
+                db = to_device_batch(batch)
+                topk_idx, pos_idx, pos_len = self._full_step(
+                    variables, db, estate
+                )
+                collector.collect_topk(
+                    np.asarray(pos_idx), np.asarray(pos_len), batch["weight"]
+                )
+        elif isinstance(eval_loader, NegSampleEvalBatcher):
+            if self.eval_type == EvaluatorType.RANKING:
+                if self._neg_step is None:
+                    self._neg_step = self._make_neg_step(
+                        eval_loader.item_num, eval_loader.max_users
+                    )
+                for i, batch in enumerate(eval_loader):
+                    if (
+                        sample_eval_ratio is not None
+                        and i >= 1
+                        and rng is not None
+                        and rng.random() > sample_eval_ratio
+                    ):
+                        continue
+                    db = to_device_batch(batch)
+                    topk_idx, pos_idx, pos_len = self._neg_step(
+                        variables, db, estate
+                    )
+                    user_w = (
+                        np.arange(eval_loader.max_users) < int(batch["n_users"])
+                    ).astype(np.float32)
+                    collector.collect_topk(
+                        np.asarray(pos_idx), np.asarray(pos_len), user_w
+                    )
+            else:  # VALUE metrics: pooled scores + labels
+                if self._predict is None:
+                    self._predict = self._make_predict()
+                for i, batch in enumerate(eval_loader):
+                    if (
+                        sample_eval_ratio is not None
+                        and i >= 1
+                        and rng is not None
+                        and rng.random() > sample_eval_ratio
+                    ):
+                        continue
+                    db = to_device_batch(batch)
+                    scores = self._predict(variables, db, estate)
+                    collector.collect_scores(
+                        np.asarray(scores),
+                        batch[self.model.label_field],
+                        batch["weight"],
+                    )
+        else:
+            raise NotImplementedError(type(eval_loader))
+
+        evaluator = Evaluator(self.config)
+        return evaluator.evaluate(collector.get_data_struct())
+
+
+def _device_estate(estate):
+    if not estate:
+        return {}
+    return {
+        k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
+        for k, v in estate.items()
+    }

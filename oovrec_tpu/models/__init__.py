@@ -1,0 +1,30 @@
+"""Model registry (`recbole/utils/utils.py:55` get_model analog)."""
+
+from oovrec_tpu.models.base import MODEL_REGISTRY, EmbedderMLP, GeneralRecommender
+from oovrec_tpu.models.bpr import BPR
+from oovrec_tpu.models.directau import DirectAU
+
+
+def get_model_class(name: str):
+    # imported lazily to avoid cycles for heavier model families
+    if name not in MODEL_REGISTRY:
+        try:
+            if name in ("WideDeep", "DCNV2", "xDeepFM", "LR", "FM", "DeepFM"):
+                import oovrec_tpu.models.context_aware  # noqa: F401
+            elif name in ("Pop", "ItemKNN", "Random", "NeuMF", "LightGCN"):
+                import oovrec_tpu.models.general  # noqa: F401
+        except ImportError:
+            pass
+    if name not in MODEL_REGISTRY:
+        raise ValueError(f"Model [{name}] is not implemented")
+    return MODEL_REGISTRY[name]
+
+
+__all__ = [
+    "BPR",
+    "DirectAU",
+    "EmbedderMLP",
+    "GeneralRecommender",
+    "MODEL_REGISTRY",
+    "get_model_class",
+]

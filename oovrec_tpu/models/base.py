@@ -1,0 +1,129 @@
+"""Model base classes and shared plumbing.
+
+Equivalent of `recbole/model/abstract_recommender.py` re-designed as flax
+linen modules with pure methods:
+
+  calculate_loss(batch, estate)  -> scalar (weight-masked mean)
+  predict(batch, estate)         -> (B,) scores
+  user_e / item_e                -> routed embedding lookups
+  all_item_embeddings(ids, buckets, estate) -> (N, D) for full-sort eval
+
+The IV/OOV routing of `InductiveGeneralRecommender`
+(`abstract_recommender.py:117-203`) lives in `inductive.routing`; models
+call it through `self._route`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from oovrec_tpu.inductive.routing import route
+from oovrec_tpu.inductive.spec import InductiveSpec
+from oovrec_tpu.models.init import xavier_normal
+from oovrec_tpu.utils.enums import InputType, ModelType
+
+Batch = Dict[str, jnp.ndarray]
+
+
+class EmbedderMLP(nn.Module):
+    """The DHE/fDHE/DNN encoder tower: widths³ GELU + final Sigmoid
+    (`dh_embedder.py:70-89`, `dnn_embedder.py:65-90`)."""
+
+    layer_size: int
+    out_size: int
+    n_hidden: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        for _ in range(self.n_hidden):
+            x = nn.Dense(self.layer_size, kernel_init=xavier_normal)(x)
+            x = nn.gelu(x)
+        x = nn.Dense(self.out_size, kernel_init=xavier_normal)(x)
+        return nn.sigmoid(x)
+
+
+class GeneralRecommender(nn.Module):
+    """Two-tower base (user/item ID spaces, optional inductive routing)."""
+
+    model_type = ModelType.GENERAL
+    input_type = InputType.POINTWISE
+
+    n_users: int = 0
+    n_items: int = 0
+    embedding_size: int = 64
+    spec: Optional[InductiveSpec] = None
+    uid_field: str = "user_id"
+    iid_field: str = "item_id"
+    label_field: str = "label"
+    neg_prefix: str = "neg_"
+
+    def _setup_oov(self):
+        """Create OOV bucket tables / embedder MLPs per the spec
+        (`abstract_recommender.py:134-139`)."""
+        spec = self.spec
+        if spec is None or not spec.active:
+            return
+        if spec.needs_buckets:
+            self.user_oov_buckets = nn.Embed(
+                spec.n_user_buckets, self.embedding_size,
+                embedding_init=xavier_normal, name="user_oov_buckets",
+            )
+            self.item_oov_buckets = nn.Embed(
+                spec.n_item_buckets, self.embedding_size,
+                embedding_init=xavier_normal, name="item_oov_buckets",
+            )
+        if spec.trainable_embedder:
+            self.user_oov_mlp = EmbedderMLP(
+                spec.dhe_layer_size, self.embedding_size, name="user_oov_mlp"
+            )
+            self.item_oov_mlp = EmbedderMLP(
+                spec.dhe_layer_size, self.embedding_size, name="item_oov_mlp"
+            )
+
+    def _route_side(self, side: str, iv_table, ids, batch: Batch, estate,
+                    field: str):
+        spec = self.spec
+        flags = batch.get(field + "_oov") if spec and spec.active else None
+        buckets = batch.get(field + "_bucket") if spec and spec.active else None
+        bucket_table = None
+        mlp = None
+        dhe = None
+        if spec and spec.active:
+            if spec.needs_buckets:
+                bucket_table = (
+                    self.user_oov_buckets.embedding
+                    if side == "user"
+                    else self.item_oov_buckets.embedding
+                )
+            if spec.trainable_embedder:
+                mlp = (
+                    self.user_oov_mlp if side == "user" else self.item_oov_mlp
+                )
+            if spec.embedder in ("dhe", "fdhe"):
+                dhe = batch.get(field + "_dhe")
+        return route(
+            spec, side, ids, flags, buckets, iv_table, bucket_table,
+            estate, mlp_apply=mlp, dhe_hashes=dhe,
+        )
+
+    # Methods models must provide:
+    def calculate_loss(self, batch: Batch, estate=None):
+        raise NotImplementedError
+
+    def predict(self, batch: Batch, estate=None):
+        raise NotImplementedError
+
+
+def batch_weight(batch: Batch):
+    return batch.get("weight")
+
+
+MODEL_REGISTRY: Dict[str, Any] = {}
+
+
+def register_model(cls):
+    MODEL_REGISTRY[cls.__name__] = cls
+    return cls

@@ -1,0 +1,368 @@
+"""Trainer: jitted train step + epoch loop + the inductive OOV regime.
+
+Equivalent of `recbole/trainer/trainer.py` `Trainer` (:103-685) and
+`InductiveTrainer` (:1496-1943), re-designed functionally:
+
+  * one jitted, donated train step `(params, opt_state, batch) → (loss, ...)`
+    compiled once thanks to static batch shapes;
+  * a second step variant with OOV-frozen updates: non-OOV parameter
+    updates AND their optimizer-state advоткат are masked out — the exact
+    semantics of torch's `requires_grad=False` + untouched `None`-grad
+    optimizer slots (`bpr.py:86-92`, `trainer.py:1559-1568`);
+  * the OOV-simulation sub-epoch: Bernoulli batch keep (`trainer.py:1796`),
+    prime-pad/feature-mask transform on the host (`transform.OOVSimulator`),
+    optional optimizer snapshot/rollback (`oov_freeze_skip_optim`);
+  * mixed-mode augmentation (`_augment_with_oov`, `trainer.py:1654-1667`)
+    as a fixed-capacity batch extension (appended rows beyond the sampled
+    count carry weight 0 — static shapes preserved);
+  * early stopping + best-checkpoint saving on validation improvement.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from oovrec_tpu.eval.collector import calculate_valid_score
+from oovrec_tpu.eval.runner import EvalRunner, to_device_batch, _device_estate
+from oovrec_tpu.inductive.transform import OOVSimulator
+from oovrec_tpu.train.early_stopping import early_stopping
+from oovrec_tpu.train.optimizers import build_optimizer, clip_by_norm
+from oovrec_tpu.utils.logging import init_logger
+from oovrec_tpu.utils.seeding import host_rng
+
+
+def _is_oov_param_path(path) -> bool:
+    """The freeze filter: trainable-during-OOV iff the name carries
+    'oov_bucket' or 'oov_mlp' (reference name filter `dcnv2.py:110-118`,
+    table freezing `bpr.py:86-92`)."""
+    s = "/".join(str(getattr(p, "key", p)) for p in path)
+    return "oov_bucket" in s or "oov_mlp" in s
+
+
+class Trainer:
+    def __init__(self, config, model, variables, estate=None):
+        self.config = config
+        self.model = model
+        self.variables = variables
+        self.estate = estate or {}
+        self.logger = init_logger(config)
+
+        self.learner = config["learner"]
+        self.learning_rate = float(config["learning_rate"])
+        self.weight_decay = float(config["weight_decay"] or 0.0)
+        self.epochs = int(config["epochs"])
+        self.eval_step = min(int(config["eval_step"]), self.epochs)
+        self.stopping_step = int(config["stopping_step"])
+        self.valid_metric_bigger = bool(config["valid_metric_bigger"])
+        self.clip = clip_by_norm(config["clip_grad_norm"])
+
+        self.tx = self._wrap_clip(
+            build_optimizer(self.learner, self.learning_rate, self.weight_decay)
+        )
+        self.opt_state = self.tx.init(self.variables["params"])
+
+        self.start_epoch = 0
+        self.cur_step = 0
+        self.best_valid_score = None
+        self.best_valid_result = None
+        self.train_loss_dict: Dict[int, float] = {}
+
+        ckpt_dir = config.get("checkpoint_dir", "saved")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        self.saved_model_file = os.path.join(
+            ckpt_dir, f"{config['model']}-{config['dataset']}.ckpt"
+        )
+
+        self.eval_runner = EvalRunner(model, config, estate=self.estate)
+        self._train_step = None
+        self._train_step_frozen = None
+
+        # inductive regime
+        self.train_oov = bool(config["train_oov"])
+        self.oov_only_epoch = bool(config["oov_only_epoch"])
+        self.oov_train_ratio = float(config["oov_train_ratio"] or 0.0)
+        self.oov_freeze_embedding = bool(config["oov_freeze_embedding"])
+        self.oov_freeze_skip_optim = bool(config["oov_freeze_skip_optim"])
+        self.valid_sample_ratio = config["eval_valid_sample_ratio"]
+        self._oov_rng = host_rng(int(config["seed"] or 0), "oov_regime")
+        self.oov_simulator: Optional[OOVSimulator] = None
+
+    # ------------------------------------------------------------ steps
+
+    def _wrap_clip(self, tx):
+        if self.clip is not None:
+            return optax.chain(self.clip, tx)
+        return tx
+
+    def _make_step(self, frozen: bool):
+        model, tx = self.model, self.tx
+        freeze_mask = None
+        if frozen:
+            freeze_mask = jax.tree_util.tree_map_with_path(
+                lambda path, _: _is_oov_param_path(path),
+                self.variables["params"],
+            )
+
+        @jax.jit
+        def step(params, opt_state, batch, estate):
+            def loss_fn(p):
+                return model.apply(
+                    {"params": p}, batch, estate, method=model.calculate_loss
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            if freeze_mask is not None:
+                # zero masked updates AND keep their optimizer slots frozen
+                updates = jax.tree.map(
+                    lambda m, u: u if m else jnp.zeros_like(u),
+                    freeze_mask, updates,
+                )
+                new_opt_state = _select_opt_state(
+                    freeze_mask, opt_state, new_opt_state
+                )
+            new_params = optax.apply_updates(params, updates)
+            return loss, new_params, new_opt_state
+
+        return step
+
+    def _get_step(self, frozen: bool):
+        if frozen:
+            if self._train_step_frozen is None:
+                self._train_step_frozen = self._make_step(True)
+            return self._train_step_frozen
+        if self._train_step is None:
+            self._train_step = self._make_step(False)
+        return self._train_step
+
+    # ------------------------------------------------------------ epochs
+
+    def _train_epoch(self, train_loader, epoch_idx: int,
+                     oov_transform=None, keep_ratio: Optional[float] = None,
+                     frozen: bool = False) -> float:
+        """One pass over the loader. `oov_transform` applies the OOV
+        simulation to each kept batch; `keep_ratio` is the Bernoulli batch
+        keep probability of the OOV sub-epoch (`trainer.py:1796`)."""
+        step = self._get_step(frozen)
+        params = self.variables["params"]
+        opt_state = self.opt_state
+        estate = _device_estate(self.estate)
+        total_loss = None
+        for batch in train_loader:
+            if keep_ratio is not None and self._oov_rng.random() > keep_ratio:
+                continue
+            if oov_transform is not None:
+                batch = oov_transform(batch)
+            db = to_device_batch(batch)
+            loss, params, opt_state = step(params, opt_state, db, estate)
+            loss = float(loss)
+            if np.isnan(loss):
+                raise ValueError("Training loss is nan")
+            total_loss = loss if total_loss is None else total_loss + loss
+            if self.config["oov_debug_skip_train"]:
+                break
+        self.variables = dict(self.variables, params=params)
+        self.opt_state = opt_state
+        return total_loss
+
+    def _augment_batch(self, batch: dict) -> dict:
+        """Mixed-mode augmentation (`_augment_with_oov`, `trainer.py:1654`):
+        sample ~ratio of rows, OOV-transform copies, append (into a fixed
+        2B-capacity batch; unused capacity keeps weight 0), shuffle."""
+        n = len(batch["weight"])
+        sel = self._oov_rng.random(n) < self.oov_train_ratio
+        sel = sel & (batch["weight"] > 0)
+        copy = {k: np.asarray(v)[sel] for k, v in batch.items()}
+        copy = self.oov_simulator(copy)
+        out = {}
+        perm = self._oov_rng.permutation(2 * n)
+        for k, v in batch.items():
+            v = np.asarray(v)
+            pad_shape = (2 * n - n - len(copy[k]),) + v.shape[1:]
+            ext = np.concatenate(
+                [v, copy[k], np.zeros(pad_shape, v.dtype)], axis=0
+            )
+            out[k] = ext[perm]
+        return out
+
+    # ------------------------------------------------------------ fit
+
+    def fit(self, train_loader, valid_loader=None, saved: bool = True,
+            show_progress: bool = False, callback_fn=None):
+        """Train with periodic validation + early stopping
+        (`trainer.py:409-524`, inductive variant `:1520-1652`)."""
+        if self.train_oov and self.oov_simulator is None:
+            self.oov_simulator = OOVSimulator(
+                self.model.spec,
+                self.model.n_users,
+                self.model.n_items,
+                float(self.config["oov_feature_mask_rate"] or 0.0),
+                self._oov_rng,
+                uid_field=self.model.uid_field,
+                iid_field=self.model.iid_field,
+            )
+        valid_rng = host_rng(int(self.config["seed"] or 0), "valid_sampling")
+
+        for epoch_idx in range(self.start_epoch, self.epochs):
+            t0 = time.time()
+            if self.train_oov and not self.oov_only_epoch:
+                train_loss = self._train_epoch(
+                    train_loader, epoch_idx, oov_transform=self._augment_batch
+                )
+            else:
+                train_loss = self._train_epoch(train_loader, epoch_idx)
+            self.train_loss_dict[epoch_idx] = train_loss
+
+            oov_loss = None
+            if self.train_oov and self.oov_only_epoch:
+                opt_snapshot = (
+                    jax.tree.map(lambda x: x, self.opt_state)
+                    if self.oov_freeze_embedding and self.oov_freeze_skip_optim
+                    else None
+                )
+                oov_loss = self._train_epoch(
+                    train_loader, epoch_idx,
+                    oov_transform=self.oov_simulator,
+                    keep_ratio=self.oov_train_ratio,
+                    frozen=self.oov_freeze_embedding,
+                )
+                if opt_snapshot is not None:
+                    self.opt_state = opt_snapshot
+
+            self.logger.info(
+                "epoch %d training [time: %.2fs, train loss: %s%s]"
+                % (
+                    epoch_idx,
+                    time.time() - t0,
+                    f"{train_loss:.4f}" if train_loss is not None else "None",
+                    f", oov loss: {oov_loss:.4f}" if oov_loss is not None else "",
+                )
+            )
+
+            if self.eval_step <= 0 or valid_loader is None:
+                if saved:
+                    self._save_checkpoint(epoch_idx)
+                continue
+            if (epoch_idx + 1) % self.eval_step == 0:
+                t1 = time.time()
+                ratio = self.valid_sample_ratio
+                ratio = ratio if (ratio is not None and 0 < ratio < 1) else None
+                valid_result = self.eval_runner.evaluate(
+                    self.variables, valid_loader,
+                    sample_eval_ratio=ratio, rng=valid_rng,
+                )
+                valid_score = calculate_valid_score(
+                    valid_result, self.config["valid_metric"]
+                )
+                (
+                    self.best_valid_score,
+                    self.cur_step,
+                    stop_flag,
+                    update_flag,
+                ) = early_stopping(
+                    valid_score,
+                    self.best_valid_score,
+                    self.cur_step,
+                    max_step=self.stopping_step,
+                    bigger=self.valid_metric_bigger,
+                )
+                self.logger.info(
+                    "epoch %d evaluating [time: %.2fs, valid_score: %f]"
+                    % (epoch_idx, time.time() - t1, valid_score)
+                )
+                self.logger.info(f"valid result: {dict(valid_result)}")
+                if update_flag:
+                    if saved:
+                        self._save_checkpoint(epoch_idx)
+                    self.best_valid_result = valid_result
+                if callback_fn:
+                    callback_fn(epoch_idx, valid_score)
+                if stop_flag:
+                    self.logger.info(
+                        "Finished training, best eval result in epoch %d"
+                        % (epoch_idx - self.cur_step * self.eval_step)
+                    )
+                    break
+        return self.best_valid_score, self.best_valid_result
+
+    # ------------------------------------------------------------ eval
+
+    def evaluate(self, eval_loader, load_best_model: bool = True,
+                 model_file: Optional[str] = None):
+        if eval_loader is None:
+            return None
+        if load_best_model:
+            path = model_file or self.saved_model_file
+            if os.path.isfile(path):
+                self.resume_checkpoint(path, params_only=True)
+        return self.eval_runner.evaluate(self.variables, eval_loader)
+
+    # ------------------------------------------------------ checkpointing
+
+    def _save_checkpoint(self, epoch: int, path: Optional[str] = None):
+        """Full state: config, epoch, best score, params, opt state, estate
+        (`_save_checkpoint`, `trainer.py:294-317`). Only process 0 writes."""
+        if jax.process_index() != 0:
+            return
+        state = {
+            "config": self.config.as_dict() if hasattr(self.config, "as_dict") else dict(self.config),
+            "epoch": epoch,
+            "cur_step": self.cur_step,
+            "best_valid_score": self.best_valid_score,
+            "params": serialization.to_bytes(self.variables["params"]),
+            "opt_state": serialization.to_bytes(self.opt_state),
+            "estate": {k: np.asarray(v) for k, v in self.estate.items()},
+        }
+        with open(path or self.saved_model_file, "wb") as f:
+            pickle.dump(state, f)
+
+    def resume_checkpoint(self, path: str, params_only: bool = False):
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        params = serialization.from_bytes(
+            self.variables["params"], state["params"]
+        )
+        self.variables = dict(self.variables, params=params)
+        self.estate.update(state.get("estate", {}))
+        if not params_only:
+            self.opt_state = serialization.from_bytes(
+                self.opt_state, state["opt_state"]
+            )
+            self.start_epoch = state["epoch"] + 1
+            self.cur_step = state["cur_step"]
+            self.best_valid_score = state["best_valid_score"]
+        return state
+
+
+def _select_opt_state(mask, old_state, new_state, params=None):
+    """Per-leaf select between old/new optimizer state for frozen params.
+
+    Optimizer states embed param-structured subtrees (adam mu/nu, rss sums);
+    a state leaf belongs to param P iff its key path ends with P's key path.
+    Frozen params (mask False) keep their OLD state leaves — the exact
+    behavior of torch skipping None-grad params; structural leaves (step
+    counts, empty states) always take the new value.
+    """
+    mask_by_path = {}
+    jax.tree_util.tree_map_with_path(
+        lambda p, m: mask_by_path.__setitem__(jax.tree_util.keystr(p), bool(m)),
+        mask,
+    )
+
+    def sel(path, new_leaf, old_leaf):
+        ps = jax.tree_util.keystr(path)
+        for param_path, m in mask_by_path.items():
+            if ps.endswith(param_path):
+                return new_leaf if m else old_leaf
+        return new_leaf
+
+    return jax.tree_util.tree_map_with_path(sel, new_state, old_state)

@@ -1,0 +1,106 @@
+"""End-to-end smoke + behavior tests: train BPR/DirectAU on the toy
+fixture, evaluate, checkpoint. The minimum end-to-end slice of SURVEY §7.2.
+"""
+
+import numpy as np
+import pytest
+
+from oovrec_tpu.cli.quick_start import objective_function, run
+
+from tests.test_dataset import ASSETS
+
+
+def _cfg(model="BPR", **over):
+    d = {
+        "model": model,
+        "dataset": "toy",
+        "data_path": ASSETS,
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+        "epochs": 2,
+        "train_batch_size": 16,
+        "eval_batch_size": 64,
+        "embedding_size": 8,
+        "topk": [2, 5],
+        "valid_metric": "MRR@2",
+        "metrics": ["Recall", "MRR", "NDCG", "Hit", "Precision"],
+        "eval_args": {
+            "split": {"RS": [0.8, 0.1, 0.1]},
+            "order": "TO",
+            "group_by": "user",
+            "mode": "full",
+        },
+        "checkpoint_dir": "/tmp/oovrec_test_ckpt",
+    }
+    d.update(over)
+    return d
+
+
+def test_bpr_end_to_end():
+    res = objective_function(config_dict=_cfg(), saved=False)
+    tr = res["test_result"]
+    assert set(tr) == {
+        "recall@2", "recall@5", "mrr@2", "mrr@5", "ndcg@2", "ndcg@5",
+        "hit@2", "hit@5", "precision@2", "precision@5",
+    }
+    for v in tr.values():
+        assert 0.0 <= v <= 1.0
+    assert res["best_valid_score"] is not None
+
+
+def test_bpr_loss_decreases():
+    res = run(config_dict=_cfg(epochs=30, learning_rate=0.05), saved=False)
+    losses = res["trainer"].train_loss_dict
+    assert losses[max(losses)] < losses[0]
+
+
+def test_directau_end_to_end():
+    res = objective_function(config_dict=_cfg(model="DirectAU"), saved=False)
+    assert res["test_result"] is not None
+
+
+def test_uni_eval_mode_end_to_end():
+    cfg = _cfg()
+    cfg["eval_args"]["mode"] = "uni3"
+    res = objective_function(config_dict=cfg, saved=False)
+    assert 0.0 <= res["test_result"]["hit@5"] <= 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _cfg(checkpoint_dir=str(tmp_path))
+    res = run(config_dict=cfg, saved=True)
+    trainer = res["trainer"]
+    p0 = np.asarray(trainer.variables["params"]["user_embedding"]["embedding"])
+    state = trainer.resume_checkpoint(trainer.saved_model_file)
+    assert state["config"]["model"] == "BPR"
+    p1 = np.asarray(trainer.variables["params"]["user_embedding"]["embedding"])
+    assert p0.shape == p1.shape
+    # deterministic eval after reload
+    r1 = trainer.evaluate(None)
+    assert r1 is None  # None loader → None
+
+
+def test_bpr_memorizes_tiny_dataset():
+    """With enough epochs on the tiny corpus, train-set metrics should be
+    high — sanity that gradient flow + eval protocol work together."""
+    cfg = _cfg(
+        epochs=120,
+        learning_rate=0.1,
+        stopping_step=1000,
+        eval_args={
+            "split": {"RS": [0.8, 0.1, 0.1]},
+            "order": "TO",
+            "group_by": "user",
+            "mode": "full",
+        },
+    )
+    res = run(config_dict=cfg, saved=False)
+    # evaluate ON the train split (memorization check)
+    from oovrec_tpu.data.dataloader import FullSortEvalBatcher
+    from oovrec_tpu.data.utils import data_preparation
+
+    ds = res["dataset"]
+    cfgo = res["config"]
+    train_split = ds.build()[0]
+    loader = FullSortEvalBatcher(train_split, None, cfgo, phase="train")
+    out = res["trainer"].eval_runner.evaluate(res["trainer"].variables, loader)
+    assert out["hit@5"] > 0.5
