@@ -63,13 +63,21 @@ def test_ndcg():
     np.testing.assert_allclose(got[2], [0, 0, 0])
 
 
-def test_auc_matches_sklearn_formula():
-    trues = np.array([1, 0, 1, 0, 1])
-    preds = np.array([0.9, 0.8, 0.7, 0.3, 0.2])
-    # pairs: pos>neg wins / (3*2): (.9>.8,.9>.3,.9>.2, .7<.8,.7>.3,.7>.2, .2<.8,.2<.3,...)
-    # manual: favorable = 0.9:2, 0.7:2, 0.2:0 → wait 0.9 beats both negs, 0.7
-    # beats .3,.2, 0.2 beats none → 5/6
-    assert auc_(preds, trues) == pytest.approx(5 / 6)
+def test_auc_matches_sklearn():
+    from sklearn.metrics import roc_auc_score
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    for _ in range(5):
+        trues = rng.integers(0, 2, 50).astype(float)
+        preds = rng.random(50)
+        assert auc_(preds, trues) == pytest.approx(
+            roc_auc_score(trues, preds), abs=1e-9
+        )
+    # tied scores path
+    preds_t = np.round(preds, 1)
+    assert auc_(preds_t, trues) == pytest.approx(
+        roc_auc_score(trues, preds_t), abs=1e-9
+    )
 
 
 def test_value_metrics():
