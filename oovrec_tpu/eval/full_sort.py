@@ -58,12 +58,17 @@ def mask_and_topk(
     pos_matrix = pos_matrix.at[:, 0].set(0)
     slice_pos_len = jnp.sum(pos_valid, axis=1)
 
+    k_eff = min(maxk, N)  # tiny corpora: ranks beyond N can never be hits
     if perm is not None:
-        _, topk_p = jax.lax.top_k(scores[:, perm], maxk)
+        _, topk_p = jax.lax.top_k(scores[:, perm], k_eff)
         topk_idx = perm[topk_p]
     else:
-        _, topk_idx = jax.lax.top_k(scores, maxk)
+        _, topk_idx = jax.lax.top_k(scores, k_eff)
     pos_idx = jnp.take_along_axis(pos_matrix, topk_idx, axis=1)
+    if k_eff < maxk:
+        pad = jnp.zeros((U, maxk - k_eff), topk_idx.dtype)
+        topk_idx = jnp.concatenate([topk_idx, pad], axis=1)
+        pos_idx = jnp.concatenate([pos_idx, pad.astype(pos_idx.dtype)], axis=1)
     return topk_idx, pos_idx, slice_pos_len
 
 

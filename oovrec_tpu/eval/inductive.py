@@ -1,0 +1,192 @@
+"""InductiveEvaluator — 7-way old/new slice evaluation over the `_ind` corpus.
+
+Equivalent of `recbole/inductive/evaluator.py:15-180` +
+`filtered_collector.py` + `collector_filter.py`, re-designed as ONE batched
+device pass: instead of 7 collector copies each re-masking/re-top-k-ing the
+score matrix, the jitted step computes top-k for three item variants
+(full / old-items / new-items, each with its own tie-break permutation) and
+the host assigns rows to slices with user old/new masks:
+
+    slice        rows (users)   item variant
+    overall      all            full (unperturbed, like the base Collector)
+    old_users    uid < n_old    full (perturbed)
+    new_users    uid ≥ n_old    full (perturbed)
+    old_old      uid < n_old    old items only
+    old_new      uid < n_old    new items only
+    new_old      uid ≥ n_old    old items only
+    new_new      uid ≥ n_old    new items only
+
+Known reference deviation (documented, intentional): the reference's
+`FastUserItemCollectorFilter.apply_score_filter` keys its item-column
+masking on `return_old_users` (`collector_filter.py:171-175`) and shifts
+new-item positive ids by −n_old_items (`collector_filter.py:255`), which
+makes its old_new / new_old slices compare shifted positive positions
+against unshifted score columns. We implement the evidently intended
+semantics — mask the complementary item half, keep positive ids unshifted —
+under which old_old/new_new agree with the reference exactly and
+old_new/new_old measure what their names say.
+
+Tie-breaking follows `use_perturbed_hits` (`filtered_collector.py:38-55`):
+top-k runs on column-permuted scores so ties (e.g. many identical zero/mean
+OOV scores) don't resolve by index order.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oovrec_tpu.eval.collector import Collector, Evaluator
+from oovrec_tpu.eval.full_sort import mask_and_topk
+from oovrec_tpu.eval.runner import to_device_batch, _device_estate
+from oovrec_tpu.utils.seeding import host_rng
+
+SLICES = (
+    "overall", "old_users", "new_users",
+    "old_old", "old_new", "new_old", "new_new",
+)
+
+
+class InductiveEvaluator:
+    def __init__(self, model, config, n_old_users: int, n_old_items: int,
+                 estate=None, mapper=None):
+        self.model = model
+        self.config = config
+        self.n_old_users = n_old_users
+        self.n_old_items = n_old_items
+        self.estate = estate or {}
+        self.mapper = mapper
+        self.maxk = max(config["topk"])
+        self.use_perturbed = bool(config.get("use_perturbed_hits", True))
+        self._step = None
+        self._all_items = None
+        self._rng = host_rng(int(config["seed"] or 2020), "perturbed_hits")
+
+    # ------------------------------------------------------------ device
+
+    def _make_step(self):
+        model, maxk = self.model, self.maxk
+
+        @jax.jit
+        def step(variables, batch, all_item_e, estate, perms, old_mask):
+            scores = model.apply(
+                variables, batch, all_item_e, estate,
+                method=model.score_against,
+            )
+            args = (
+                batch["hist_items"], batch["hist_len"],
+                batch["pos_items"], batch["pos_len"],
+            )
+            new_mask = 1 - old_mask
+            out = {
+                "overall": mask_and_topk(scores, *args, maxk),
+                "full": mask_and_topk(scores, *args, maxk, perm=perms["full"]),
+                "old": mask_and_topk(
+                    scores, *args, maxk, perm=perms["old"], item_mask=old_mask
+                ),
+                "new": mask_and_topk(
+                    scores, *args, maxk, perm=perms["new"], item_mask=new_mask
+                ),
+            }
+            return out
+
+        return step
+
+    def _all_item_embeddings(self, variables, n_ext_items: int, estate):
+        item_ids = np.arange(n_ext_items, dtype=np.int32)
+        buckets = np.zeros(n_ext_items, np.int32)
+        if self.mapper is not None:
+            oov = item_ids >= self.n_old_items
+            if oov.any():
+                buckets[oov] = self.mapper.item_buckets(
+                    item_ids[oov].astype(np.int64)
+                ).astype(np.int32)
+        fn = jax.jit(
+            lambda v, ids, b, es: self.model.apply(
+                v, ids, b, es, method=self.model.all_item_embeddings
+            )
+        )
+        return fn(variables, jnp.asarray(item_ids), jnp.asarray(buckets), estate)
+
+    # ------------------------------------------------------------ driver
+
+    def evaluate_model(self, variables, test_loader, show_progress=False):
+        """`evaluate_model` (`inductive/evaluator.py:136-179`)."""
+        n_ext = test_loader.item_num
+        estate = _device_estate(self.estate)
+        all_item_e = self._all_item_embeddings(variables, n_ext, estate)
+        if self._step is None:
+            self._step = self._make_step()
+
+        old_mask = jnp.asarray(
+            (np.arange(n_ext) < self.n_old_items).astype(np.int32)
+        )
+        collectors = {s: Collector(self.config) for s in SLICES}
+
+        for batch in test_loader:
+            db = self._annotate_users(batch)
+            ddb = to_device_batch(db)
+            if self.use_perturbed:
+                perms = {
+                    k: jnp.asarray(self._rng.permutation(n_ext))
+                    for k in ("full", "old", "new")
+                }
+            else:
+                ar = jnp.arange(n_ext)
+                perms = {"full": ar, "old": ar, "new": ar}
+            out = self._step(variables, ddb, all_item_e, estate, perms, old_mask)
+
+            users = np.asarray(batch["user_id"])
+            w = np.asarray(batch["weight"]) > 0
+            old_u = (users < self.n_old_users) & w
+            new_u = (users >= self.n_old_users) & w
+
+            plan = {
+                "overall": ("overall", w),
+                "old_users": ("full", old_u),
+                "new_users": ("full", new_u),
+                "old_old": ("old", old_u),
+                "old_new": ("new", old_u),
+                "new_old": ("old", new_u),
+                "new_new": ("new", new_u),
+            }
+            for slice_name, (variant, rows) in plan.items():
+                _, pos_idx, pos_len = out[variant]
+                pos_idx = np.asarray(pos_idx)
+                pos_len = np.asarray(pos_len)
+                keep = rows & (pos_len > 0)  # drop rows with no slice positives
+                if keep.any():
+                    collectors[slice_name].collect_topk(
+                        pos_idx[keep], pos_len[keep]
+                    )
+
+        evaluator = Evaluator(self.config)
+        results: "OrderedDict[str, OrderedDict]" = OrderedDict()
+        for s in SLICES:
+            struct = collectors[s].get_data_struct()
+            if struct.has("rec.topk"):
+                results[s] = evaluator.evaluate(struct)
+            else:
+                results[s] = OrderedDict()
+        return results
+
+    def _annotate_users(self, batch: dict) -> dict:
+        """Host-side OOV flags/buckets for the user block."""
+        out = dict(batch)
+        users = np.asarray(batch["user_id"], np.int64)
+        oov = (users >= self.n_old_users).astype(np.int32)
+        out["user_id_oov"] = oov
+        if self.mapper is not None:
+            buckets = np.zeros_like(users)
+            if oov.any():
+                buckets = np.where(
+                    oov > 0, self.mapper.user_buckets(users), 0
+                )
+            out["user_id_bucket"] = buckets
+        else:
+            out["user_id_bucket"] = np.zeros_like(users)
+        return out
