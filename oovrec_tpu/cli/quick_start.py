@@ -26,31 +26,63 @@ from oovrec_tpu.utils.seeding import init_seed
 
 
 def build_model_and_state(config, dataset, mode: str = "transductive",
-                          n_entities=None):
+                          n_entities=None, template_batch=None):
     """Instantiate the model + init params + embedder state.
 
     `n_entities=(n_users, n_items)` overrides table sizes when rebuilding a
     model against an inductive corpus with the ORIGINAL counts
-    (`perform_hashing.py:141-163`).
+    (`perform_hashing.py:141-163`). `template_batch` (any host batch with
+    the model's input columns) drives lazy param init; a minimal synthetic
+    one is derived when omitted.
     """
+    import dataclasses
+
+    from oovrec_tpu.models.context import (
+        ContextRecommender,
+        field_spec_from_dataset,
+    )
+
     cls = get_model_class(config["model"])
     spec = InductiveSpec.from_config(config)
     if not spec.active:
         spec = None
 
     n_users, n_items = n_entities or (dataset.user_num, dataset.item_num)
+    uid = config["USER_ID_FIELD"]
+    iid = config["ITEM_ID_FIELD"]
+    is_context = issubclass(cls, ContextRecommender)
+
     kwargs: Dict[str, Any] = dict(
-        n_users=n_users,
-        n_items=n_items,
-        embedding_size=int(config.get("embedding_size", 64)),
         spec=spec,
-        uid_field=config["USER_ID_FIELD"],
-        iid_field=config["ITEM_ID_FIELD"],
+        uid_field=uid,
+        iid_field=iid,
         label_field=config["LABEL_FIELD"],
         neg_prefix=config["NEG_PREFIX"],
     )
-    if config["model"] == "DirectAU":
-        kwargs["gamma"] = float(config.get("gamma", 1.0))
+    if is_context:
+        fields = field_spec_from_dataset(dataset, config)
+        if n_entities is not None:
+            # rebuild against the _ind corpus with ORIGINAL vocab sizes
+            dims = list(fields.token_dims)
+            dims[0], dims[1] = n_users, n_items
+            fields = dataclasses.replace(fields, token_dims=tuple(dims))
+        kwargs["fields"] = fields
+        kwargs["embedding_size"] = int(config.get("embedding_size", 10))
+    else:
+        kwargs.update(
+            n_users=n_users,
+            n_items=n_items,
+            embedding_size=int(config.get("embedding_size", 64)),
+        )
+    # config-driven hyperparameters declared by the model dataclass
+    claimed = set(kwargs) | {"parent", "name", "fields", "spec"}
+    for f in dataclasses.fields(cls):
+        if f.name in claimed or f.name not in config.keys():
+            continue
+        v = config[f.name]
+        if v is None:
+            continue
+        kwargs[f.name] = tuple(v) if isinstance(v, list) else v
     model = cls(**kwargs)
 
     estate = {}
@@ -60,26 +92,27 @@ def build_model_and_state(config, dataset, mode: str = "transductive",
             seed=int(config["seed"] or 2020),
         )
 
-    # init params by tracing the loss on a minimal template batch
-    uid = config["USER_ID_FIELD"]
-    iid = config["ITEM_ID_FIELD"]
-    template = {
-        uid: np.zeros(2, np.int32),
-        iid: np.zeros(2, np.int32),
-        config["NEG_PREFIX"] + iid: np.zeros(2, np.int32),
-        config["LABEL_FIELD"]: np.zeros(2, np.float32),
-        "weight": np.ones(2, np.float32),
-    }
-    if spec is not None:
-        for f in (uid, iid, config["NEG_PREFIX"] + iid):
-            template[f + "_oov"] = np.zeros(2, np.int32)
-            template[f + "_bucket"] = np.zeros(2, np.int32)
+    if template_batch is None:
+        template_batch = {
+            uid: np.zeros(2, np.int32),
+            iid: np.zeros(2, np.int32),
+            config["NEG_PREFIX"] + iid: np.zeros(2, np.int32),
+            config["LABEL_FIELD"]: np.zeros(2, np.float32),
+            "weight": np.ones(2, np.float32),
+        }
+        if spec is not None:
+            for f in (uid, iid, config["NEG_PREFIX"] + iid):
+                template_batch[f + "_oov"] = np.zeros(2, np.int32)
+                template_batch[f + "_bucket"] = np.zeros(2, np.int32)
+    from oovrec_tpu.eval.runner import to_device_batch
+
     est = {k: np.asarray(v) for k, v in estate.items()}
+    seed = int(config["seed"] or 2020)
     variables = model.init(
-        jax.random.key(int(config["seed"] or 2020)),
-        template, est, method=model.calculate_loss,
+        {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
+        to_device_batch(template_batch), est, method=model.calculate_loss,
     )
-    return model, variables, estate
+    return model, dict(variables), estate
 
 
 def run(
@@ -97,7 +130,12 @@ def run(
     ds = create_dataset(config)
     train_loader, valid_loader, test_loader = data_preparation(config, ds)
 
-    model_obj, variables, estate = build_model_and_state(config, ds)
+    template = train_loader._make_batch(
+        np.arange(min(2, max(len(ds.build()[0]), 1)))
+    )
+    model_obj, variables, estate = build_model_and_state(
+        config, ds, template_batch=template
+    )
     trainer = Trainer(config, model_obj, variables, estate)
 
     best_valid_score, best_valid_result = trainer.fit(

@@ -420,22 +420,49 @@ class Dataset:
                         feat[field] = np.split(flat, sp)
 
     def _discretization(self) -> None:
-        """Equal-width bucketing of configured numerical features into
-        (value, bucket) pairs for FLEmbedding (`dataset.py:740-838`)."""
-        dis_info = self.config["discretization"] or {}
-        for field, info in dis_info.items():
+        """Numerical features → (value, bucket) pairs for FLEmbedding
+        (`dataset.py:740-838` exact semantics). The pair is stored as the
+        value column `field` plus an int companion column `field__bucket`:
+          * ED: value=1, bucket=floor((x−lo)·B/(hi−lo)+1), bucketnum=max+1
+          * LD: value=1, bucket=unique-rank of floor(log(x)²+1) (x>2 mask)
+          * not configured: value=x, bucket=1, bucketnum=2
+        """
+        dis_info = dict(self.config["discretization"] or {})
+        for field in self.config["numerical_features"] or []:
             if field not in self.field2type:
-                raise ValueError(f"Field [{field}] does not exist.")
-            n_buckets = int(info.get("bucket_cnt", 10)) if isinstance(info, dict) else int(info)
-            self.field2bucketnum[field] = n_buckets
-            for feat in self._field_feats(field):
-                arr = feat[field].values.astype(np.float64)
-                mn, mx = arr.min(), arr.max()
-                width = (mx - mn) / n_buckets if mx > mn else 1.0
-                bucket = np.minimum(
-                    ((arr - mn) / width).astype(np.int64), n_buckets - 1
-                )
-                feat[field + "_bucket"] = bucket
+                continue
+            if field in dis_info:
+                info = dis_info[field]
+                method = info["method"]
+                bucket_cnt = info.get("bucket")
+                if method == "ED" and bucket_cnt is None:
+                    raise ValueError(
+                        "The number of buckets must be set when apply equal discretization."
+                    )
+                for feat in self._field_feats(field):
+                    arr = feat[field].values.astype(np.float64)
+                    if method == "ED":
+                        lower, upper = arr.min(), arr.max() + 1e-9
+                        if upper != lower:
+                            res = np.floor(
+                                (arr - lower) * bucket_cnt / (upper - lower) + 1
+                            )
+                        else:
+                            res = np.ones_like(arr) * bucket_cnt
+                    elif method == "LD":
+                        mask = arr > 2
+                        x = np.floor(np.log(arr * mask + 1e-9) ** 2 + 1)
+                        x = np.where(mask, x, arr)
+                        _, res = np.unique(x, return_inverse=True)
+                    else:
+                        raise ValueError(f"Method [{method}] does not exist.")
+                    self.field2bucketnum[field] = int(res.max() + 1)
+                    feat[field + "__bucket"] = res.astype(np.int64)
+                    feat[field] = np.ones_like(arr)
+            else:
+                for feat in self._field_feats(field):
+                    feat[field + "__bucket"] = np.ones(len(feat), np.int64)
+                self.field2bucketnum.setdefault(field, 2)
 
     def _feats(self) -> List[pd.DataFrame]:
         return [
@@ -650,6 +677,9 @@ def _frame_to_arrays(
     """DataFrame → dict of arrays; *_seq fields padded to their max length."""
     out: Dict[str, np.ndarray] = {}
     for col in df.columns:
+        if col.endswith("__bucket"):
+            out[col] = df[col].values.astype(np.int64)
+            continue
         ftype = field2type.get(col, FeatureType.FLOAT)
         if ftype == FeatureType.TOKEN:
             out[col] = df[col].values.astype(np.int64)

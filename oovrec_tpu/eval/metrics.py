@@ -110,7 +110,7 @@ def auc_(preds: np.ndarray, trues: np.ndarray) -> float:
         return float("nan")
     fpr = fps / fps[-1]
     tpr = tps / tps[-1]
-    return float(np.trapz(tpr, fpr))
+    return float(np.trapezoid(tpr, fpr))
 
 
 def mae_(preds, trues) -> float:

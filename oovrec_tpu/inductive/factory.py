@@ -42,6 +42,23 @@ def build_feature_matrix(
     cols = [c for c in feat_frame.columns if c != id_field]
     blocks = []
     for c in cols:
+        if c.endswith("__bucket"):
+            continue  # folded into its value column's block below
+        if c + "__bucket" in feat_frame.columns:
+            # discretized numerical feature: the reference's (value, bucket)
+            # pair participates as one 2-wide block, normalized together
+            pair = np.stack(
+                [
+                    feat_frame[c].values.astype(np.float32),
+                    feat_frame[c + "__bucket"].values.astype(np.float32),
+                ],
+                axis=-1,
+            )
+            if normalization_type == "per-feature":
+                norm = np.linalg.norm(pair, axis=-1, keepdims=True)
+                pair = pair / np.maximum(norm, _EPS)
+            blocks.append(pair)
+            continue
         col = feat_frame[c].values
         if col.dtype == object:  # seq field: pad to max len
             maxlen = max((len(v) for v in col), default=0)

@@ -1,0 +1,6 @@
+from oovrec_tpu.models.context_aware.widedeep import WideDeep
+from oovrec_tpu.models.context_aware.dcnv2 import DCNV2
+from oovrec_tpu.models.context_aware.xdeepfm import xDeepFM
+from oovrec_tpu.models.context_aware.basic import LR, FM, DeepFM
+
+__all__ = ["WideDeep", "DCNV2", "xDeepFM", "LR", "FM", "DeepFM"]

@@ -1,0 +1,122 @@
+"""xDeepFM (`recbole/model/context_aware_recommender/xdeepfm.py:34-219`):
+CIN (outer-product einsum + per-layer 1×1 conv == dense over the pair
+axis) + MLP + first-order linear, BCE-with-logits + L2 reg."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from oovrec_tpu.models.base import Batch, register_model
+from oovrec_tpu.models.context import ContextRecommender
+from oovrec_tpu.models.init import xavier_normal
+from oovrec_tpu.models.layers import MLPLayers
+from oovrec_tpu.models.losses import bce_with_logits
+
+
+@register_model
+class xDeepFM(ContextRecommender):
+    mlp_hidden_size: Tuple[int, ...] = (128, 128, 128)
+    reg_weight: float = 5e-4
+    dropout_prob: float = 0.2
+    direct: bool = False
+    cin_layer_size: Tuple[int, ...] = (100, 100, 100)
+
+    def setup(self):
+        # non-direct mode halves intermediate layers to even sizes
+        # (`xdeepfm.py:50-57`)
+        cin = list(self.cin_layer_size)
+        if not self.direct:
+            cin = [int(x // 2 * 2) for x in cin]
+        self._cin_sizes = tuple(cin)
+
+        field_nums = [self.fields.num_feature_field]
+        convs = []
+        for i, layer_size in enumerate(self._cin_sizes):
+            convs.append(
+                nn.Dense(
+                    layer_size, kernel_init=xavier_normal, name=f"conv1d_{i}"
+                )
+            )
+            field_nums.append(
+                layer_size if self.direct else layer_size // 2
+            )
+        self.conv1d_list = convs
+        self._field_nums = tuple(field_nums)
+
+        if self.direct:
+            final_len = sum(self._cin_sizes)
+        else:
+            final_len = sum(self._cin_sizes[:-1]) // 2 + self._cin_sizes[-1]
+        self.cin_linear = nn.Dense(1, kernel_init=xavier_normal)
+        self.mlp_layers = MLPLayers(
+            (self.in_feature_num,) + tuple(self.mlp_hidden_size) + (1,),
+            dropout=self.dropout_prob,
+        )
+        self._setup_context()
+
+    def compressed_interaction_network(self, x, activation="relu"):
+        """(B, F, D) → (B, final_len): pairwise Hadamard feature maps,
+        1×1 conv over the pair axis (== Dense on axis 1), sum-pool over D
+        (`xdeepfm.py:134-193`)."""
+        b, _, d = x.shape
+        hidden = [x]
+        finals = []
+        for i, layer_size in enumerate(self._cin_sizes):
+            z = jnp.einsum("bhd,bmd->bhmd", hidden[-1], hidden[0])
+            z = z.reshape(b, self._field_nums[0] * self._field_nums[i], d)
+            # conv1d with kernel 1 over channels == dense on the pair axis
+            out = self.conv1d_list[i](z.transpose(0, 2, 1)).transpose(0, 2, 1)
+            out = nn.relu(out)
+            if self.direct:
+                direct_connect, next_hidden = out, out
+            elif i != len(self._cin_sizes) - 1:
+                next_hidden, direct_connect = jnp.split(out, 2, axis=1)
+            else:
+                direct_connect, next_hidden = out, None
+            finals.append(direct_connect)
+            if next_hidden is not None:
+                hidden.append(next_hidden)
+        result = jnp.concatenate(finals, axis=1)
+        return jnp.sum(result, axis=-1)
+
+    def forward(self, batch: Batch, estate=None, train: bool = False):
+        emb = self.concat_embed_input_fields(batch, estate)  # (B, F, D)
+        cin_out = self.cin_linear(self.compressed_interaction_network(emb))
+        b = emb.shape[0]
+        dnn_out = self.mlp_layers(emb.reshape(b, -1), train=train)
+        y = self.first_order_linear(batch, estate) + cin_out + dnn_out
+        return y.squeeze(-1)
+
+    def calculate_loss(self, batch: Batch, estate=None):
+        label = batch[self.label_field]
+        out = self.forward(batch, estate, train=True)
+        # L2 over mlp/linear/conv kernels (`xdeepfm.py:120-132`), applied
+        # via the variables tree in the wrapper below
+        reg = self._reg_from_scope()
+        return bce_with_logits(out, label, batch.get("weight")) + self.reg_weight * reg
+
+    def _reg_from_scope(self):
+        """Σ ‖W‖₂ over Dense kernels of mlp, first-order tables and convs."""
+        reg = 0.0
+        for conv in self.conv1d_list:
+            reg = reg + jnp.linalg.norm(conv.variables["params"]["kernel"])
+        mlp_params = self.mlp_layers.variables.get("params", {})
+        for v in jax.tree_util.tree_leaves(
+            {k: p for k, p in mlp_params.items() if "Dense" in k}
+        ):
+            if v.ndim >= 2:
+                reg = reg + jnp.linalg.norm(v)
+        fo = self.first_order_linear.variables.get("params", {})
+        for v in jax.tree_util.tree_leaves(fo):
+            if hasattr(v, "ndim") and v.ndim >= 2:
+                reg = reg + jnp.linalg.norm(v)
+        return reg
+
+    def predict(self, batch: Batch, estate=None):
+        return nn.sigmoid(self.forward(batch, estate))
+
+
+import jax  # noqa: E402  (used in _reg_from_scope)

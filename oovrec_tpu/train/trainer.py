@@ -95,6 +95,8 @@ class Trainer:
         self.valid_sample_ratio = config["eval_valid_sample_ratio"]
         self._oov_rng = host_rng(int(config["seed"] or 0), "oov_regime")
         self.oov_simulator: Optional[OOVSimulator] = None
+        self._dropout_key = jax.random.key(int(config["seed"] or 0) + 101)
+        self._global_step = 0
 
     # ------------------------------------------------------------ steps
 
@@ -113,13 +115,19 @@ class Trainer:
             )
 
         @jax.jit
-        def step(params, opt_state, batch, estate):
+        def step(params, extra_vars, opt_state, batch, estate, rng):
             def loss_fn(p):
-                return model.apply(
-                    {"params": p}, batch, estate, method=model.calculate_loss
+                out, new_vars = model.apply(
+                    {"params": p, **extra_vars}, batch, estate,
+                    method=model.calculate_loss,
+                    rngs={"dropout": rng},
+                    mutable=["batch_stats"],
                 )
+                return out, new_vars
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            (loss, new_vars), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
             updates, new_opt_state = tx.update(grads, opt_state, params)
             if freeze_mask is not None:
                 # zero masked updates AND keep their optimizer slots frozen
@@ -131,7 +139,7 @@ class Trainer:
                     freeze_mask, opt_state, new_opt_state
                 )
             new_params = optax.apply_updates(params, updates)
-            return loss, new_params, new_opt_state
+            return loss, new_params, new_vars, new_opt_state
 
         return step
 
@@ -154,6 +162,7 @@ class Trainer:
         keep probability of the OOV sub-epoch (`trainer.py:1796`)."""
         step = self._get_step(frozen)
         params = self.variables["params"]
+        extra_vars = {k: v for k, v in self.variables.items() if k != "params"}
         opt_state = self.opt_state
         estate = _device_estate(self.estate)
         total_loss = None
@@ -163,14 +172,20 @@ class Trainer:
             if oov_transform is not None:
                 batch = oov_transform(batch)
             db = to_device_batch(batch)
-            loss, params, opt_state = step(params, opt_state, db, estate)
+            rng = jax.random.fold_in(self._dropout_key, self._global_step)
+            self._global_step += 1
+            loss, params, new_vars, opt_state = step(
+                params, extra_vars, opt_state, db, estate, rng
+            )
+            if "batch_stats" in new_vars:
+                extra_vars = dict(extra_vars, batch_stats=new_vars["batch_stats"])
             loss = float(loss)
             if np.isnan(loss):
                 raise ValueError("Training loss is nan")
             total_loss = loss if total_loss is None else total_loss + loss
             if self.config["oov_debug_skip_train"]:
                 break
-        self.variables = dict(self.variables, params=params)
+        self.variables = dict(extra_vars, params=params)
         self.opt_state = opt_state
         return total_loss
 
@@ -319,6 +334,9 @@ class Trainer:
             "cur_step": self.cur_step,
             "best_valid_score": self.best_valid_score,
             "params": serialization.to_bytes(self.variables["params"]),
+            "extra_vars": serialization.to_bytes(
+                {k: v for k, v in self.variables.items() if k != "params"}
+            ),
             "opt_state": serialization.to_bytes(self.opt_state),
             "estate": {k: np.asarray(v) for k, v in self.estate.items()},
         }
@@ -332,6 +350,11 @@ class Trainer:
             self.variables["params"], state["params"]
         )
         self.variables = dict(self.variables, params=params)
+        if state.get("extra_vars"):
+            extra_t = {k: v for k, v in self.variables.items() if k != "params"}
+            if extra_t:
+                extra = serialization.from_bytes(extra_t, state["extra_vars"])
+                self.variables = dict(extra, params=params)
         self.estate.update(state.get("estate", {}))
         if not params_only:
             self.opt_state = serialization.from_bytes(

@@ -1,0 +1,100 @@
+"""CTR stack tests: field packing, first-order linear, WideDeep/DCNv2/
+xDeepFM end-to-end with the ranking (AUC/RMSE, uni-neg) protocol."""
+
+import numpy as np
+import pytest
+
+from oovrec_tpu.cli.quick_start import objective_function, run
+from oovrec_tpu.config import Config
+from oovrec_tpu.data.dataset import Dataset
+from oovrec_tpu.models.context import field_spec_from_dataset
+
+from tests.test_dataset import ASSETS, toyind_config
+
+
+def _ranking_cfg(model="WideDeep", **over):
+    d = {
+        "model": model,
+        "dataset": "toy-ind",
+        "data_path": ASSETS,
+        "load_col": {
+            "inter": ["user_id", "item_id", "rating", "timestamp", "is_new"],
+            "user": ["user_id", "age", "gender"],
+            "item": ["item_id", "price", "category"],
+        },
+        "numerical_features": ["age", "price"],
+        "threshold": {"rating": 4},
+        "epochs": 2,
+        "train_batch_size": 16,
+        "eval_batch_size": 200,
+        "embedding_size": 8,
+        "mlp_hidden_size": [16, 8],
+        "metrics": ["AUC", "RMSE"],
+        "valid_metric": "RMSE",
+        "model_eval_type": "ranking",
+        "eval_args": {
+            "split": {"RS": [0.8, 0.1, 0.1]},
+            "order": "TO",
+            "group_by": None,
+            "mode": "uni3",
+        },
+        "checkpoint_dir": "/tmp/oovrec_ctr_ckpt",
+    }
+    d.update(over)
+    return d
+
+
+def test_field_spec_from_dataset():
+    c = Config(config_dict=_ranking_cfg())
+    ds = Dataset(c)
+    fs = field_spec_from_dataset(ds, c)
+    assert fs.token_names[0] == "user_id"
+    assert fs.token_names[1] == "item_id"
+    assert "gender" in fs.token_names and "category" in fs.token_names
+    assert "is_new" in fs.token_names  # token field from inter
+    assert set(fs.float_names) == {"age", "price"}
+    assert fs.token_dims[0] == ds.user_num
+    assert fs.token_dims[1] == ds.item_num
+    # non-discretized numerical features default to bucketnum 2
+    assert fs.float_dims == (2, 2)
+
+
+@pytest.mark.parametrize("model", ["WideDeep", "DCNV2", "xDeepFM", "LR", "FM", "DeepFM"])
+def test_ctr_models_end_to_end(model):
+    over = {}
+    if model == "DCNV2":
+        over = {"cross_layer_num": 2, "reg_weight": 0.01}
+    res = objective_function(config_dict=_ranking_cfg(model, **over), saved=False)
+    tr = res["test_result"]
+    assert "auc" in tr and "rmse" in tr
+    assert 0.0 <= tr["auc"] <= 1.0 or np.isnan(tr["auc"])
+
+
+def test_dcnv2_mixed_cross():
+    res = objective_function(
+        config_dict=_ranking_cfg(
+            "DCNV2", mixed=True, expert_num=2, low_rank=4, cross_layer_num=2,
+            reg_weight=0.01,
+        ),
+        saved=False,
+    )
+    assert "auc" in res["test_result"]
+
+
+def test_ctr_inductive_oov_training(tmp_path):
+    cfg = _ranking_cfg(
+        "WideDeep",
+        checkpoint_dir=str(tmp_path),
+        inductive_mapper="random",
+        add_oov_buckets=True,
+        n_user_oov_buckets=8,
+        n_item_oov_buckets=8,
+        train_oov=True,
+        oov_train_ratio=0.8,
+    )
+    res = run(config_dict=cfg, saved=True)
+    params = res["trainer"].variables["params"]
+    # both the tower-dim and the first-order dim-1 OOV buckets exist
+    assert "user_oov_buckets" in params["fields"]
+    assert "user_oov_buckets" in params["first_order_linear"]["fo"]
+    assert params["first_order_linear"]["fo"]["user_oov_buckets"]["embedding"].shape == (8, 1)
