@@ -111,7 +111,7 @@ def perform_inductive_eval(
     params = serialization.from_bytes(init_vars["params"], ckpt["params"])
     variables = {"params": params}
     ckpt_estate = ckpt.get("estate", {})
-    for k in ("user_planes", "item_planes", "user_dhe_keys", "item_dhe_keys"):
+    for k in ("user_planes", "item_planes", "dhe_keys"):
         if k in ckpt_estate:
             estate[k] = ckpt_estate[k]
 

@@ -86,10 +86,13 @@ def build_model_and_state(config, dataset, mode: str = "transductive",
     model = cls(**kwargs)
 
     estate = {}
-    if spec is not None and (spec.needs_features or spec.embedder in ("lsh", "slsh")):
+    if spec is not None and (
+        spec.needs_features or spec.embedder in ("lsh", "slsh", "dhe", "fdhe")
+    ):
         estate = build_embedder_state(
             spec, dataset, n_users, n_items, mode=mode,
             seed=int(config["seed"] or 2020),
+            hash_key_dir=config.get("hash_key_dir", "./hash_keys"),
         )
 
     if template_batch is None:

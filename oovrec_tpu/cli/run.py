@@ -1,0 +1,121 @@
+"""Paper CLI driver — `python -m oovrec_tpu.cli.run --model=BPR --dataset=...`.
+
+Equivalent of `src/run_recbole.py:39-266`:
+  * `--key=value` args with type inference,
+  * the paper's forced eval protocol per `model_eval_type`
+    (`src/run_recbole.py:203-229`): retrieval → Recall/MRR/NDCG/Hit/
+    Precision + valid MRR@20; ranking → AUC/RMSE + valid RMSE; both with
+    split RS [0.88, 0.02, 0.1], order TO, mode uni250, topk [10,20],
+    eval_batch 1e5, uniform 1-neg sampling,
+  * per-dataset JSON config merge (`dataset_configs/<ds>.json`),
+  * train → checkpoint (model + mapper/embedder state) → weight backup →
+    test eval → optional inductive eval.
+
+The GCS→NFS→local backup cascade (`src/run_recbole.py:117-166`) becomes a
+local/NFS copy (no cloud egress in this environment); wandb mirroring is
+gated on availability.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+from typing import Any, Dict
+
+from oovrec_tpu.config import parse_cli_args
+
+
+def apply_paper_protocol(args: Dict[str, Any]) -> Dict[str, Any]:
+    """The eval-protocol overrides of `src/run_recbole.py:203-229`."""
+    met = args.get("model_eval_type", "retrieval")
+    if met == "retrieval":
+        args["valid_metric"] = "MRR@20"
+        args["metrics"] = ["Recall", "MRR", "NDCG", "Hit", "Precision"]
+    elif met == "ranking":
+        args["valid_metric"] = "RMSE"
+        args["metrics"] = ["AUC", "RMSE"]
+    else:
+        raise NotImplementedError(f"Unknown model type: {met}")
+    args["eval_args"] = {
+        "split": {"RS": [0.88, 0.02, 0.1]},
+        "group_by": None,
+        "order": "TO",
+        "mode": "uni250",
+    }
+    args["eval_batch_size"] = int(1e5)
+    args["topk"] = [10, 20]
+    neg = {
+        "distribution": "uniform", "sample_num": 1, "alpha": 1.0,
+        "dynamic": False, "candidate_num": 0,
+    }
+    args["train_neg_sample_args"] = dict(neg)
+    args["oov_neg_sample_args"] = dict(neg)
+    args["test_neg_sample_args"] = dict(neg)
+    args["threshold"] = args.get("threshold")
+    args["reproducibility"] = True
+    return args
+
+
+def merge_dataset_config(args: Dict[str, Any],
+                         config_dir: str = "./dataset_configs") -> Dict[str, Any]:
+    """`dataset_configs/<ds>.json` merge (`src/run_recbole.py:236-241`) —
+    CLI args keep precedence."""
+    path = os.path.join(config_dir, f"{args.get('dataset')}.json")
+    if os.path.exists(path):
+        print("Dataset config file found:", path)
+        with open(path, "rb") as f:
+            base = json.load(f)
+        return {**base, **args}
+    print("Dataset config file not found, using defaults...")
+    return args
+
+
+def backup_weights(paths, nfs_path=None, logger=None) -> None:
+    """Weight backup cascade, local-only flavor of
+    `src/run_recbole.py:117-166`."""
+    if not nfs_path:
+        return
+    try:
+        os.makedirs(nfs_path, exist_ok=True)
+        for p in paths:
+            if p and os.path.isfile(p):
+                shutil.copy2(p, nfs_path)
+    except OSError as e:
+        (logger.warning if logger else print)(f"weight backup failed: {e}")
+
+
+def main(argv=None) -> Dict[str, Any]:
+    from oovrec_tpu.cli.quick_start import run
+    from oovrec_tpu.cli.inductive_eval import perform_inductive_eval
+
+    args = parse_cli_args(argv if argv is not None else sys.argv[1:])
+    if "model" not in args or "dataset" not in args:
+        raise SystemExit("usage: run.py --model=<M> --dataset=<D> [--k=v ...]")
+
+    args = apply_paper_protocol(args)
+    args = merge_dataset_config(args)
+
+    res = run(
+        model=args["model"], dataset=args["dataset"], config_dict=args,
+        saved=True,
+    )
+    trainer = res["trainer"]
+    backup_weights(
+        [trainer.saved_model_file],
+        nfs_path=res["config"]["nfs_backup_path"],
+        logger=trainer.logger,
+    )
+
+    if args.get("inductive_eval"):
+        print("Performing inductive evaluation...")
+        ind_results = perform_inductive_eval(
+            res["dataset"], trainer.saved_model_file, config=res["config"]
+        )
+        res["inductive_results"] = ind_results
+    return res
+
+
+if __name__ == "__main__":
+    main()

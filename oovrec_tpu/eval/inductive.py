@@ -65,6 +65,16 @@ class InductiveEvaluator:
         self._step = None
         self._all_items = None
         self._rng = host_rng(int(config["seed"] or 2020), "perturbed_hits")
+        self.dhe_hasher = None
+        spec = getattr(model, "spec", None)
+        if spec is not None and spec.embedder in ("dhe", "fdhe"):
+            from oovrec_tpu.inductive.dhe import DHEHasher
+
+            self.dhe_hasher = DHEHasher(
+                spec.dhe_num_hashes,
+                config.get("hash_key_dir", "./hash_keys"),
+                keys_u64=(self.estate or {}).get("dhe_keys"),
+            )
 
     # ------------------------------------------------------------ device
 
@@ -105,12 +115,18 @@ class InductiveEvaluator:
                 buckets[oov] = self.mapper.item_buckets(
                     item_ids[oov].astype(np.int64)
                 ).astype(np.int32)
+        item_dhe = None
+        if self.dhe_hasher is not None:
+            item_dhe = jnp.asarray(self.dhe_hasher.hash_ids(item_ids))
         fn = jax.jit(
-            lambda v, ids, b, es: self.model.apply(
-                v, ids, b, es, method=self.model.all_item_embeddings
+            lambda v, ids, b, es, dhe: self.model.apply(
+                v, ids, b, es, dhe, method=self.model.all_item_embeddings
             )
         )
-        return fn(variables, jnp.asarray(item_ids), jnp.asarray(buckets), estate)
+        return fn(
+            variables, jnp.asarray(item_ids), jnp.asarray(buckets), estate,
+            item_dhe,
+        )
 
     # ------------------------------------------------------------ driver
 
@@ -189,4 +205,9 @@ class InductiveEvaluator:
             out["user_id_bucket"] = buckets
         else:
             out["user_id_bucket"] = np.zeros_like(users)
+        if self.dhe_hasher is not None:
+            # eval hashes the RAW inductive id (no prime pad)
+            self.dhe_hasher.annotate_batch(
+                out, "user_id", 0, padded_when_flagged=False
+            )
         return out

@@ -190,7 +190,9 @@ class EvalRunner:
 def _device_estate(estate):
     if not estate:
         return {}
-    return {
-        k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
-        for k, v in estate.items()
-    }
+    out = {}
+    for k, v in estate.items():
+        if isinstance(v, np.ndarray) and v.dtype == np.uint64:
+            continue  # host-only state (e.g. DHE SipHash keys)
+        out[k] = jnp.asarray(v) if isinstance(v, np.ndarray) else v
+    return out

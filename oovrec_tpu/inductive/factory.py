@@ -141,6 +141,7 @@ def build_embedder_state(
     mode: str = "transductive",
     seed: int = 2020,
     cache: Optional[InductiveFeatureCache] = None,
+    hash_key_dir: str = "./hash_keys",
 ) -> EmbedderState:
     """Build the non-trainable embedder state for `mode`.
 
@@ -154,6 +155,14 @@ def build_embedder_state(
         "n_original_users": np.int64(n_original_users),
         "n_original_items": np.int64(n_original_items),
     }
+    if spec.embedder in ("dhe", "fdhe"):
+        from oovrec_tpu.inductive.dhe import DHEHasher
+
+        hasher = DHEHasher(spec.dhe_num_hashes, hash_key_dir)
+        # uint64 keys are host-only state (never shipped to the device);
+        # persisted in checkpoints AND in the reference-compatible
+        # hash_keys/<n>.hashes file
+        state["dhe_keys"] = hasher.keys
     if not spec.needs_features and spec.embedder not in ("lsh", "slsh"):
         return state
 

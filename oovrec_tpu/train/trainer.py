@@ -98,6 +98,19 @@ class Trainer:
         self._dropout_key = jax.random.key(int(config["seed"] or 0) + 101)
         self._global_step = 0
 
+        # DHE/fDHE: host-side SipHash annotation of (padded) ID columns
+        self.dhe_hasher = None
+        spec = getattr(model, "spec", None)
+        if spec is not None and spec.embedder in ("dhe", "fdhe"):
+            from oovrec_tpu.inductive.dhe import DHEHasher
+
+            self.dhe_hasher = DHEHasher(
+                spec.dhe_num_hashes,
+                config.get("hash_key_dir", "./hash_keys"),
+                keys_u64=self.estate.get("dhe_keys"),
+            )
+            self.estate["dhe_keys"] = self.dhe_hasher.keys
+
     # ------------------------------------------------------------ steps
 
     def _wrap_clip(self, tx):
@@ -171,6 +184,14 @@ class Trainer:
                 continue
             if oov_transform is not None:
                 batch = oov_transform(batch)
+            if self.dhe_hasher is not None:
+                spec = self.model.spec
+                for f in (self.model.uid_field, self.model.iid_field,
+                          self.model.neg_prefix + self.model.iid_field):
+                    if f in batch:
+                        self.dhe_hasher.annotate_batch(
+                            batch, f, spec.prime_pad, padded_when_flagged=True
+                        )
             db = to_device_batch(batch)
             rng = jax.random.fold_in(self._dropout_key, self._global_step)
             self._global_step += 1
