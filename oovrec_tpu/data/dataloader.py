@@ -398,4 +398,5 @@ class NegSampleEvalBatcher:
             pw[: len(pu)] = 1.0
             batch["positive_weight"] = pw
             batch["n_users"] = np.array(len(users), dtype=np.int64)
+            batch["slot_users"] = _pad_to(users, self.step)
             yield batch

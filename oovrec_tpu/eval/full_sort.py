@@ -72,6 +72,34 @@ def mask_and_topk(
     return topk_idx, pos_idx, slice_pos_len
 
 
+def matrix_topk(
+    mat: jnp.ndarray,           # (U, N) score matrix (−inf where unscored)
+    pos_matrix: jnp.ndarray,    # (U, N) 0/1 positives
+    maxk: int,
+    perm: Optional[jnp.ndarray] = None,
+    item_mask: Optional[jnp.ndarray] = None,
+):
+    """Perturbed top-k over a pre-scattered score matrix (the sampled-
+    negative inductive path: `neg_sample_batch_eval` + FilteredCollector)."""
+    U, N = mat.shape
+    if item_mask is not None:
+        mat = jnp.where(item_mask[None, :] > 0, mat, NEG_INF)
+        pos_matrix = pos_matrix * item_mask[None, :]
+    pos_len = jnp.sum(pos_matrix, axis=1)
+    k_eff = min(maxk, N)
+    if perm is not None:
+        _, topk_p = jax.lax.top_k(mat[:, perm], k_eff)
+        topk_idx = perm[topk_p]
+    else:
+        _, topk_idx = jax.lax.top_k(mat, k_eff)
+    pos_idx = jnp.take_along_axis(pos_matrix, topk_idx, axis=1)
+    if k_eff < maxk:
+        pad = jnp.zeros((U, maxk - k_eff), topk_idx.dtype)
+        topk_idx = jnp.concatenate([topk_idx, pad], axis=1)
+        pos_idx = jnp.concatenate([pos_idx, pad.astype(pos_idx.dtype)], axis=1)
+    return topk_idx, pos_idx, pos_len
+
+
 def scatter_scores(
     row_user: jnp.ndarray,      # (R,) batch-local user slot per scored row
     item_ids: jnp.ndarray,      # (R,)

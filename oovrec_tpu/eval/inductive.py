@@ -131,7 +131,22 @@ class InductiveEvaluator:
     # ------------------------------------------------------------ driver
 
     def evaluate_model(self, variables, test_loader, show_progress=False):
-        """`evaluate_model` (`inductive/evaluator.py:136-179`)."""
+        """`evaluate_model` (`inductive/evaluator.py:136-179`).
+
+        Ranking (VALUE-metric) models dispatch to the pooled-score slice
+        path; retrieval models run the batched full-sort top-k path.
+        """
+        from oovrec_tpu.data.dataloader import NegSampleEvalBatcher
+        from oovrec_tpu.utils.enums import EvaluatorType
+
+        if self.config["eval_type"] == EvaluatorType.VALUE:
+            return self._evaluate_value(variables, test_loader)
+        if isinstance(test_loader, NegSampleEvalBatcher):
+            # the paper protocol: uni250 sampled-negative inductive eval
+            # (test_neg_sample_args derived from the eval mode,
+            #  `configurator.py:548-567`; `neg_sample_batch_eval` +
+            #  FilteredCollector slices)
+            return self._evaluate_sampled(variables, test_loader)
         n_ext = test_loader.item_num
         estate = _device_estate(self.estate)
         all_item_e = self._all_item_embeddings(variables, n_ext, estate)
@@ -189,6 +204,168 @@ class InductiveEvaluator:
             else:
                 results[s] = OrderedDict()
         return results
+
+    def _evaluate_sampled(self, variables, test_loader):
+        """Retrieval slices over scattered uni-N score matrices."""
+        from oovrec_tpu.eval.full_sort import (
+            matrix_topk,
+            positives_matrix,
+            scatter_scores,
+        )
+        from oovrec_tpu.eval.runner import to_device_batch
+
+        model, maxk = self.model, self.maxk
+        n_ext = test_loader.item_num
+        n_users = test_loader.max_users
+        estate = _device_estate(self.estate)
+
+        @jax.jit
+        def step(variables, batch, estate, perms, old_mask):
+            scores = model.apply(variables, batch, estate, method=model.predict)
+            mat = scatter_scores(
+                batch["row_user"], batch[model.iid_field], scores,
+                batch["weight"], n_users, n_ext,
+            )
+            mat = mat.at[:, 0].set(-jnp.inf)
+            pos = positives_matrix(
+                batch["positive_u"], batch["positive_i"],
+                batch["positive_weight"], n_users, n_ext,
+            )
+            new_mask = 1 - old_mask
+            return {
+                "overall": matrix_topk(mat, pos, maxk),
+                "full": matrix_topk(mat, pos, maxk, perm=perms["full"]),
+                "old": matrix_topk(
+                    mat, pos, maxk, perm=perms["old"], item_mask=old_mask
+                ),
+                "new": matrix_topk(
+                    mat, pos, maxk, perm=perms["new"], item_mask=new_mask
+                ),
+            }
+
+        old_mask = jnp.asarray(
+            (np.arange(n_ext) < self.n_old_items).astype(jnp.int32)
+        )
+        collectors = {s: Collector(self.config) for s in SLICES}
+        for batch in test_loader:
+            batch = self._annotate_rows(batch)
+            db = to_device_batch(batch)
+            if self.use_perturbed:
+                perms = {
+                    k: jnp.asarray(self._rng.permutation(n_ext))
+                    for k in ("full", "old", "new")
+                }
+            else:
+                ar = jnp.arange(n_ext)
+                perms = {"full": ar, "old": ar, "new": ar}
+            out = step(variables, db, estate, perms, old_mask)
+
+            slot_users = np.asarray(batch["slot_users"])
+            w = np.arange(n_users) < int(batch["n_users"])
+            old_u = (slot_users < self.n_old_users) & w
+            new_u = (slot_users >= self.n_old_users) & w
+            plan = {
+                "overall": ("overall", w),
+                "old_users": ("full", old_u),
+                "new_users": ("full", new_u),
+                "old_old": ("old", old_u),
+                "old_new": ("new", old_u),
+                "new_old": ("old", new_u),
+                "new_new": ("new", new_u),
+            }
+            for slice_name, (variant, rows) in plan.items():
+                _, pos_idx, pos_len = out[variant]
+                pos_idx = np.asarray(pos_idx)
+                pos_len = np.asarray(pos_len)
+                keep = rows & (pos_len > 0)
+                if keep.any():
+                    collectors[slice_name].collect_topk(
+                        pos_idx[keep], pos_len[keep]
+                    )
+
+        evaluator = Evaluator(self.config)
+        results = OrderedDict()
+        for s in SLICES:
+            struct = collectors[s].get_data_struct()
+            results[s] = (
+                evaluator.evaluate(struct)
+                if struct.has("rec.topk")
+                else OrderedDict()
+            )
+        return results
+
+    def _evaluate_value(self, variables, test_loader):
+        """Ranking-model slices: per-row user/item old-new masks over
+        pooled (score, label) pairs — the VALUE branch of the reference's
+        FilteredCollector (`filtered_collector.py:70-79`,
+        `collector_filter.py:179-203` `_compute_ranking_mask`)."""
+        import jax as _jax
+
+        from oovrec_tpu.eval.runner import to_device_batch
+
+        estate = _device_estate(self.estate)
+        model = self.model
+        predict = _jax.jit(
+            lambda v, b, es: model.apply(v, b, es, method=model.predict)
+        )
+        collectors = {s: Collector(self.config) for s in SLICES}
+        uidf, iidf = model.uid_field, model.iid_field
+
+        for batch in test_loader:
+            batch = self._annotate_rows(batch)
+            db = to_device_batch(batch)
+            scores = np.asarray(predict(variables, db, estate))
+            labels = np.asarray(batch[model.label_field])
+            w = np.asarray(batch["weight"]) > 0
+            users = np.asarray(batch[uidf])
+            items = np.asarray(batch[iidf])
+            old_u = users < self.n_old_users
+            old_i = items < self.n_old_items
+            plan = {
+                "overall": w,
+                "old_users": w & old_u,
+                "new_users": w & ~old_u,
+                "old_old": w & old_u & old_i,
+                "old_new": w & old_u & ~old_i,
+                "new_old": w & ~old_u & old_i,
+                "new_new": w & ~old_u & ~old_i,
+            }
+            for s, rows in plan.items():
+                if rows.any():
+                    collectors[s].collect_scores(scores[rows], labels[rows])
+
+        evaluator = Evaluator(self.config)
+        results = OrderedDict()
+        for s in SLICES:
+            struct = collectors[s].get_data_struct()
+            if struct.has("rec.score"):
+                results[s] = evaluator.evaluate(struct)
+            else:
+                results[s] = OrderedDict()
+        return results
+
+    def _annotate_rows(self, batch: dict) -> dict:
+        """Flags/buckets/DHE for the expanded rows' user AND item columns."""
+        out = dict(batch)
+        uidf, iidf = self.model.uid_field, self.model.iid_field
+        for field, n_old, bucket_fn in (
+            (uidf, self.n_old_users,
+             self.mapper.user_buckets if self.mapper else None),
+            (iidf, self.n_old_items,
+             self.mapper.item_buckets if self.mapper else None),
+        ):
+            ids = np.asarray(out[field], np.int64)
+            oov = (ids >= n_old).astype(np.int32)
+            out[field + "_oov"] = oov
+            if bucket_fn is not None and oov.any():
+                out[field + "_bucket"] = np.where(oov > 0, bucket_fn(ids), 0)
+            else:
+                out[field + "_bucket"] = np.zeros_like(ids)
+            if self.dhe_hasher is not None:
+                self.dhe_hasher.annotate_batch(
+                    out, field, 0, padded_when_flagged=False
+                )
+        return out
 
     def _annotate_users(self, batch: dict) -> dict:
         """Host-side OOV flags/buckets for the user block."""

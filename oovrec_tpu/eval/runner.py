@@ -86,10 +86,9 @@ class EvalRunner:
                 batch["positive_u"], batch["positive_i"],
                 batch["positive_weight"], n_users, n_items,
             )
-            _, topk_idx = jax.lax.top_k(mat, maxk)
-            pos_idx = jnp.take_along_axis(pos, topk_idx, axis=1)
-            pos_len = jnp.sum(pos, axis=1)
-            return topk_idx, pos_idx, pos_len
+            from oovrec_tpu.eval.full_sort import matrix_topk
+
+            return matrix_topk(mat, pos, maxk)
 
         return step
 
