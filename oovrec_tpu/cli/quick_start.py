@@ -95,6 +95,11 @@ def build_model_and_state(config, dataset, mode: str = "transductive",
             hash_key_dir=config.get("hash_key_dir", "./hash_keys"),
         )
 
+    # dataset-derived model state (Pop counts, ItemKNN similarity,
+    # LightGCN edges, ...) must exist before init traces the loss
+    if hasattr(cls, "build_estate"):
+        estate.update(cls.build_estate(dataset.build()[0]))
+
     if template_batch is None:
         template_batch = {
             uid: np.zeros(2, np.int32),

@@ -263,6 +263,54 @@ class FullSortEvalBatcher:
             }
 
 
+class PlainEvalBatcher:
+    """'labeled' eval mode: plain interaction rows + explicit labels
+    (the reference's NegSampleEvalDataLoader 'none'-distribution branch,
+    `general_dataloader.py:189-195`). Used by VALUE-metric models on
+    datasets with real labels."""
+
+    def __init__(self, split: DatasetSplit, config,
+                 batch_size: Optional[int] = None):
+        self.split = split
+        self.config = config
+        self.label_field = split.label_field
+        self.batch_size = batch_size or config["eval_batch_size"]
+        self.user_feat = (
+            split.parent.get_user_feature()
+            if split.parent.user_feat is not None
+            else None
+        )
+        self.item_feat = (
+            split.parent.get_item_feature()
+            if split.parent.item_feat is not None
+            else None
+        )
+
+    def __len__(self) -> int:
+        return (len(self.split) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Batch]:
+        inter = self.split.inter
+        n = len(self.split)
+        for start in range(0, n, self.batch_size):
+            idx = np.arange(start, min(start + self.batch_size, n))
+            batch = {k: v[idx] for k, v in inter.items()}
+            _join_features(
+                batch, batch[self.split.iid_field], self.item_feat,
+                self.split.iid_field,
+            )
+            _join_features(
+                batch, batch[self.split.uid_field], self.user_feat,
+                self.split.uid_field,
+            )
+            w = np.zeros(self.batch_size, np.float32)
+            w[: len(idx)] = 1.0
+            batch = {k: _pad_to(np.asarray(v), self.batch_size)
+                     for k, v in batch.items()}
+            batch["weight"] = w
+            yield batch
+
+
 class NegSampleEvalBatcher:
     """Sampled-negative eval batches (NegSampleEvalDataLoader analog).
 

@@ -66,6 +66,10 @@ def data_preparation(config, dataset) -> Tuple[TrainBatcher, object, object]:
             "valid" if phase == "valid" else "test"
         ]
         neg_args = eval_mode_to_neg_args(mode)
+        if mode == "labeled":
+            from oovrec_tpu.data.dataloader import PlainEvalBatcher
+
+            return PlainEvalBatcher(split, config)
         if neg_args is None:
             return FullSortEvalBatcher(split, sampler, config, phase=phase)
         return NegSampleEvalBatcher(

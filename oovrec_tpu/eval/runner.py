@@ -180,7 +180,21 @@ class EvalRunner:
                         batch["weight"],
                     )
         else:
-            raise NotImplementedError(type(eval_loader))
+            from oovrec_tpu.data.dataloader import PlainEvalBatcher
+
+            if isinstance(eval_loader, PlainEvalBatcher):
+                if self._predict is None:
+                    self._predict = self._make_predict()
+                for batch in eval_loader:
+                    db = to_device_batch(batch)
+                    scores = self._predict(variables, db, estate)
+                    collector.collect_scores(
+                        np.asarray(scores),
+                        batch[self.model.label_field],
+                        batch["weight"],
+                    )
+            else:
+                raise NotImplementedError(type(eval_loader))
 
         evaluator = Evaluator(self.config)
         return evaluator.evaluate(collector.get_data_struct())

@@ -248,6 +248,22 @@ class Trainer:
             )
         valid_rng = host_rng(int(self.config["seed"] or 0), "valid_sampling")
 
+        from oovrec_tpu.utils.enums import ModelType
+
+        if getattr(self.model, "model_type", None) == ModelType.TRADITIONAL:
+            # traditional models have no gradient training
+            # (TraditionalTrainer, `trainer.py:1006-1019`)
+            if valid_loader is not None:
+                self.best_valid_result = self.eval_runner.evaluate(
+                    self.variables, valid_loader
+                )
+                self.best_valid_score = calculate_valid_score(
+                    self.best_valid_result, self.config["valid_metric"]
+                )
+            if saved:
+                self._save_checkpoint(0)
+            return self.best_valid_score, self.best_valid_result
+
         for epoch_idx in range(self.start_epoch, self.epochs):
             t0 = time.time()
             if self.train_oov and not self.oov_only_epoch:
