@@ -17,9 +17,24 @@ from oovrec_tpu.utils.enums import InputType
 
 
 def create_dataset(config, inductive: bool = False, removal_setting=None):
-    """Build the Dataset (or InductiveDataset when `inductive`)."""
+    """Build the Dataset variant for the model type
+    (`recbole/data/utils.py:28-55` analog)."""
     if inductive:
         return InductiveDataset(config, removal_setting=removal_setting)
+    try:
+        from oovrec_tpu.models import get_model_class
+        from oovrec_tpu.utils.enums import ModelType
+
+        if (
+            config["model"]
+            and get_model_class(config["model"]).model_type
+            == ModelType.SEQUENTIAL
+        ):
+            from oovrec_tpu.data.sequential import SequentialDataset
+
+            return SequentialDataset(config)
+    except (ValueError, ImportError):
+        pass
     return Dataset(config)
 
 
@@ -62,10 +77,17 @@ def data_preparation(config, dataset) -> Tuple[TrainBatcher, object, object]:
     )
 
     def eval_loader(split, phase):
+        from oovrec_tpu.data.sequential import (
+            SeqDatasetSplit,
+            SeqFullSortEvalBatcher,
+        )
+
         mode = config["eval_args"]["mode"][
             "valid" if phase == "valid" else "test"
         ]
         neg_args = eval_mode_to_neg_args(mode)
+        if isinstance(split, SeqDatasetSplit) and neg_args is None:
+            return SeqFullSortEvalBatcher(split, config)
         if mode == "labeled":
             from oovrec_tpu.data.dataloader import PlainEvalBatcher
 

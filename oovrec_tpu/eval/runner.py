@@ -69,6 +69,55 @@ class EvalRunner:
 
         return step
 
+    def _make_fused_full_step(self, n_items: int):
+        """Pallas fast path for two-tower models: fused block scoring +
+        bitmap masking + top-k (ops/topk_score.py), identical results to
+        the dense path up to tie order."""
+        from oovrec_tpu.ops.topk_score import (
+            build_hist_bitmap,
+            fused_topk_scores,
+        )
+
+        model, maxk = self.model, self.maxk
+        tn = 4096
+
+        @jax.jit
+        def step(variables, batch, estate):
+            user_e = model.apply(
+                variables, batch, estate, method=model.user_tower
+            )
+            item_e = model.apply(variables, method=model.item_tower)
+            bm = build_hist_bitmap(
+                batch["hist_items"], batch["hist_len"], n_items, tn=tn
+            )
+            _, topk_idx = fused_topk_scores(
+                user_e, item_e, bm, k=maxk, tn=tn
+            )
+            # hits: topk index ∈ this user's positives
+            pos = batch["pos_items"]
+            P = pos.shape[1]
+            pos_valid = jnp.arange(P)[None, :] < batch["pos_len"][:, None]
+            hit = (topk_idx[:, :, None] == pos[:, None, :]) & pos_valid[:, None, :]
+            pos_idx = jnp.any(hit, axis=-1).astype(jnp.int32)
+            return topk_idx, pos_idx, batch["pos_len"]
+
+        return step
+
+    def _use_fused(self, n_items: int) -> bool:
+        flag = self.config.get("use_fused_topk", "auto")
+        if flag is False:
+            return False
+        supported = hasattr(self.model, "user_tower")
+        if flag == "auto":
+            import jax as _j
+
+            return (
+                supported
+                and n_items >= 4096
+                and _j.devices()[0].platform != "cpu"
+            )
+        return bool(flag) and supported
+
     # ------------------------------------------------------- neg-sample
 
     def _make_neg_step(self, n_items: int, n_users: int):
@@ -119,9 +168,16 @@ class EvalRunner:
         collector = Collector(self.config)
         estate = _device_estate(self.estate)
 
-        if isinstance(eval_loader, FullSortEvalBatcher):
+        from oovrec_tpu.data.sequential import SeqFullSortEvalBatcher
+
+        if isinstance(eval_loader, (FullSortEvalBatcher, SeqFullSortEvalBatcher)):
             if self._full_step is None:
-                self._full_step = self._make_full_step()
+                if self._use_fused(eval_loader.item_num):
+                    self._full_step = self._make_fused_full_step(
+                        eval_loader.item_num
+                    )
+                else:
+                    self._full_step = self._make_full_step()
             for i, batch in enumerate(eval_loader):
                 if (
                     sample_eval_ratio is not None

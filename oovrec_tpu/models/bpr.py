@@ -77,6 +77,14 @@ class BPR(GeneralRecommender):
             batch[self.iid_field + "_dhe"] = item_dhe
         return self.item_e(item_ids, batch, estate)
 
+    def user_tower(self, batch: Batch, estate=None):
+        """(B, D) user embeddings for the fused retrieval kernel."""
+        return self.user_e(batch[self.uid_field], batch, estate)
+
+    def item_tower(self):
+        """(n_items, D) IV item table for the fused retrieval kernel."""
+        return self.item_embedding.embedding
+
     def score_against(self, batch: Batch, all_item_e, estate=None):
         """user_e @ all_item_eᵀ (the retrieval kernel)."""
         u = self.user_e(batch[self.uid_field], batch, estate)
