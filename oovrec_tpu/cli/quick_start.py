@@ -74,6 +74,9 @@ def build_model_and_state(config, dataset, mode: str = "transductive",
             n_items=n_items,
             embedding_size=int(config.get("embedding_size", 64)),
         )
+        if hasattr(dataset, "entity_num"):
+            kwargs["n_entities"] = dataset.entity_num
+            kwargs["n_relations"] = dataset.relation_num
     # config-driven hyperparameters declared by the model dataclass
     claimed = set(kwargs) | {"parent", "name", "fields", "spec"}
     for f in dataclasses.fields(cls):

@@ -184,6 +184,48 @@ class TrainBatcher:
         return batch
 
 
+class KGTrainBatcher(TrainBatcher):
+    """Training batches carrying a sampled KG-triple block alongside the
+    rec fields (knowledge_dataloader.py analog): per batch, `step` triples
+    cycled from the KG in shuffled order + 1 negative tail each."""
+
+    def __init__(self, *args, kg_dataset=None, kg_sampler=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        heads, rels, tails = kg_dataset.kg_triples
+        self._kg = (heads, rels, tails)
+        self.kg_sampler = kg_sampler
+        self._kg_rng = host_rng(
+            int(self.config["seed"] or 0), "kg_batcher"
+        )
+        self._kg_order = None
+        self._kg_pos = 0
+
+    def _next_triples(self, n: int):
+        heads, rels, tails = self._kg
+        total = len(heads)
+        if self._kg_order is None or self._kg_pos + n > total:
+            self._kg_order = self._kg_rng.permutation(total)
+            self._kg_pos = 0
+        sel = self._kg_order[self._kg_pos : self._kg_pos + n]
+        self._kg_pos += n
+        return heads[sel], rels[sel], tails[sel]
+
+    def _make_batch(self, idx: np.ndarray) -> Batch:
+        batch = super()._make_batch(idx)
+        n = len(batch["weight"])
+        h, r, t = self._next_triples(n)
+        # pad-cycle if the KG is smaller than a batch
+        if len(h) < n:
+            reps = -(-n // max(len(h), 1))
+            h, r, t = (np.tile(x, reps)[:n] for x in (h, r, t))
+        batch["kg_head"] = h
+        batch["kg_relation"] = r
+        batch["kg_pos_tail"] = t
+        batch["kg_neg_tail"] = self.kg_sampler.sample_negatives(h, 1)[:, 0]
+        batch["kg_weight"] = np.ones(n, np.float32)
+        return batch
+
+
 class FullSortEvalBatcher:
     """Full-corpus ranking eval batches (FullSortEvalDataLoader analog).
 

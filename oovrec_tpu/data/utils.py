@@ -25,14 +25,19 @@ def create_dataset(config, inductive: bool = False, removal_setting=None):
         from oovrec_tpu.models import get_model_class
         from oovrec_tpu.utils.enums import ModelType
 
-        if (
-            config["model"]
-            and get_model_class(config["model"]).model_type
-            == ModelType.SEQUENTIAL
-        ):
+        mt = (
+            get_model_class(config["model"]).model_type
+            if config["model"]
+            else None
+        )
+        if mt == ModelType.SEQUENTIAL:
             from oovrec_tpu.data.sequential import SequentialDataset
 
             return SequentialDataset(config)
+        if mt == ModelType.KNOWLEDGE:
+            from oovrec_tpu.data.kg_dataset import KnowledgeBasedDataset
+
+            return KnowledgeBasedDataset(config)
     except (ValueError, ImportError):
         pass
     return Dataset(config)
@@ -72,9 +77,25 @@ def data_preparation(config, dataset) -> Tuple[TrainBatcher, object, object]:
     )
 
     input_type = config["MODEL_INPUT_TYPE"] or InputType.POINTWISE
-    train_loader = TrainBatcher(
-        train_split, sampler, config, input_type, phase="train"
-    )
+    from oovrec_tpu.data.kg_dataset import KnowledgeBasedDataset
+
+    if isinstance(dataset, KnowledgeBasedDataset):
+        from oovrec_tpu.data.dataloader import KGTrainBatcher
+        from oovrec_tpu.data.sampler import KGSampler
+
+        heads, rels, tails = dataset.kg_triples
+        kg_sampler = KGSampler(
+            heads, tails, dataset.entity_num,
+            seed=int(config["seed"] or 2020),
+        )
+        train_loader = KGTrainBatcher(
+            train_split, sampler, config, input_type, phase="train",
+            kg_dataset=dataset, kg_sampler=kg_sampler,
+        )
+    else:
+        train_loader = TrainBatcher(
+            train_split, sampler, config, input_type, phase="train"
+        )
 
     def eval_loader(split, phase):
         from oovrec_tpu.data.sequential import (

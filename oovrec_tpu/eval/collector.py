@@ -14,11 +14,34 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from oovrec_tpu.eval.metrics import (
+    ITEM_METRICS,
     TOPK_METRICS,
     VALUE_METRICS,
+    average_popularity_,
+    gauc_,
+    gini_index_,
+    item_coverage_,
+    shannon_entropy_,
+    tail_percentage_,
     topk_result,
 )
 from oovrec_tpu.utils.enums import EvaluatorType
+
+
+def metrics_needs(metrics) -> set:
+    """Which data keys the chosen metrics require (`register.py` analog)."""
+    need = set()
+    for m in metrics:
+        ml = m.lower()
+        if ml in TOPK_METRICS:
+            need.add("rec.topk")
+        if ml in ITEM_METRICS:
+            need.update(("rec.items", "data.num_items", "data.count_items"))
+        if ml == "gauc":
+            need.add("rec.meanrank")
+        if ml in VALUE_METRICS:
+            need.update(("rec.score", "data.label"))
+    return need
 
 
 class DataStruct:
@@ -49,6 +72,35 @@ class Collector:
         self.maxk = max(self.topk)
         self.eval_type = config["eval_type"]
         self.data_struct = DataStruct()
+        self.need = metrics_needs(config["metrics"] or [])
+        self._meta: Dict[str, np.ndarray] = {}
+
+    def data_collect(self, train_split) -> None:
+        """Dataset-level resources: item totals + train interaction counts
+        (`collector.py:79` data_collect)."""
+        n_items = train_split.item_num
+        counts = np.zeros(n_items, dtype=np.int64)
+        np.add.at(counts, train_split.inter[train_split.iid_field], 1)
+        self._meta["data.num_items"] = np.int64(n_items)
+        self._meta["data.count_items"] = counts
+
+    def collect_meanrank(self, pos_rank_sum, user_len, pos_len, weight=None):
+        if weight is not None:
+            keep = np.asarray(weight) > 0
+            pos_rank_sum = pos_rank_sum[keep]
+            user_len = user_len[keep]
+            pos_len = pos_len[keep]
+        self.data_struct.update_tensor(
+            "rec.meanrank",
+            np.stack(
+                [
+                    np.asarray(pos_rank_sum, np.float64),
+                    np.asarray(user_len, np.float64),
+                    np.asarray(pos_len, np.float64),
+                ],
+                axis=1,
+            ),
+        )
 
     def collect_topk(
         self, pos_idx: np.ndarray, pos_len: np.ndarray, weight=None
@@ -80,6 +132,9 @@ class Collector:
         self.data_struct.update_tensor("data.label", labels)
 
     def get_data_struct(self) -> DataStruct:
+        for k, v in self._meta.items():
+            if not self.data_struct.has(k):
+                self.data_struct.update_tensor(k, np.asarray(v))
         return self.data_struct
 
 
@@ -109,9 +164,65 @@ class Evaluator:
                 result[metric] = round(
                     VALUE_METRICS[metric](preds, trues), self.decimal_place
                 )
+            elif metric == "gauc":
+                mr = struct.get("rec.meanrank")
+                result["gauc"] = round(
+                    gauc_(mr[:, 0], mr[:, 1], mr[:, 2]), self.decimal_place
+                )
+            elif metric in ITEM_METRICS:
+                items = struct.get("rec.items")
+                num_items = int(struct.get("data.num_items"))
+                counts = struct.get("data.count_items")
+                for k in self.topk:
+                    key = f"{metric}@{k}"
+                    sub = items[:, :k]
+                    if metric == "itemcoverage":
+                        result[key] = round(
+                            item_coverage_(sub, num_items), self.decimal_place
+                        )
+                    elif metric == "shannonentropy":
+                        result[key] = round(
+                            shannon_entropy_(sub), self.decimal_place
+                        )
+                    elif metric == "giniindex":
+                        result[key] = round(
+                            gini_index_(sub, num_items), self.decimal_place
+                        )
+                    elif metric == "averagepopularity":
+                        v = average_popularity_(items, counts)
+                        result[key] = round(
+                            float(v.mean(axis=0)[k - 1]), self.decimal_place
+                        )
+                    elif metric == "tailpercentage":
+                        tail = float(self.config.get("tail_ratio", 0.1))
+                        v = tail_percentage_(items, counts, tail)
+                        result[key] = round(
+                            float(v.mean(axis=0)[k - 1]), self.decimal_place
+                        )
             else:
                 raise NotImplementedError(f"metric [{metric}] not implemented")
         return result
+
+
+def meanrank_from_scores(scores: np.ndarray, pos_items: np.ndarray,
+                         pos_len: np.ndarray):
+    """(pos_rank_sum, user_len, pos_len) per user from a masked score
+    matrix — tie-averaged descending ranks (the reference's _average_rank,
+    `collector.py:95-135`, equals scipy rankdata 'average' on -scores)."""
+    from scipy.stats import rankdata
+
+    ranks = rankdata(-scores, axis=1, method="average")
+    U, P = pos_items.shape
+    valid = np.arange(P)[None, :] < pos_len[:, None]
+    rows = np.arange(U)[:, None]
+    pos_ranks = np.where(valid, ranks[rows, pos_items], 0.0)
+    pos_rank_sum = pos_ranks.sum(axis=1)
+    # reference: desc_scores.argmin(dim=1) == first index of the minimal
+    # value in the sorted row == #entries strictly above the row min
+    # (with −inf masking that is the count of scoreable items)
+    row_min = scores.min(axis=1, keepdims=True)
+    user_len = (scores > row_min).sum(axis=1)
+    return pos_rank_sum, user_len, pos_len
 
 
 def calculate_valid_score(valid_result: Dict[str, float], valid_metric: Optional[str]):

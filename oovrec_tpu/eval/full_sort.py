@@ -18,6 +18,18 @@ import jax.numpy as jnp
 NEG_INF = -jnp.inf
 
 
+def apply_masks(scores, hist_items, hist_len):
+    """PAD + history −inf masking (shared by top-k and meanrank paths)."""
+    U = scores.shape[0]
+    H = hist_items.shape[1]
+    row = jnp.arange(U)[:, None]
+    scores = scores.at[:, 0].set(NEG_INF)
+    hist_valid = jnp.arange(H)[None, :] < hist_len[:, None]
+    return scores.at[row, hist_items].min(
+        jnp.where(hist_valid, NEG_INF, jnp.inf)
+    )
+
+
 def mask_and_topk(
     scores: jnp.ndarray,        # (U, N)
     hist_items: jnp.ndarray,    # (U, H) padded with 0

@@ -131,6 +131,79 @@ def logloss_(preds, trues) -> float:
 VALUE_METRICS = {"auc": auc_, "mae": mae_, "rmse": rmse_, "logloss": logloss_}
 SMALLER_METRICS = {"mae", "rmse", "logloss"}
 
+# ------------------------------------------- item-list ("rec.items") metrics
+
+
+def gauc_(pos_rank_sum, user_len_list, pos_len_list) -> float:
+    """Grouped AUC, pos-count weighted (`metrics.py:271-319`)."""
+    neg_len_list = user_len_list - pos_len_list
+    keep = (pos_len_list != 0) & (neg_len_list != 0)
+    user_len_list = user_len_list[keep]
+    neg_len_list = neg_len_list[keep]
+    pos_len_list = pos_len_list[keep]
+    pos_rank_sum = np.asarray(pos_rank_sum).reshape(-1)[keep]
+    pair_num = (
+        (user_len_list + 1) * pos_len_list
+        - pos_len_list * (pos_len_list + 1) / 2
+        - pos_rank_sum
+    )
+    user_auc = pair_num / (neg_len_list * pos_len_list)
+    return float((user_auc * pos_len_list).sum() / pos_len_list.sum())
+
+
+def item_coverage_(item_matrix: np.ndarray, num_items: int) -> float:
+    """|∪ recommended| / |I| (`metrics.py:488-499`)."""
+    return float(np.unique(item_matrix).shape[0] / num_items)
+
+
+def average_popularity_(item_matrix: np.ndarray, item_count: np.ndarray):
+    """Per-user cumulative mean popularity of recommended items
+    (`metrics.py:520-540`); item_count is a dense (n_items,) array."""
+    value = item_count[np.minimum(item_matrix, len(item_count) - 1)]
+    value = np.where(item_matrix < len(item_count), value, 0)
+    return value.cumsum(axis=1) / np.arange(1, value.shape[1] + 1)
+
+
+def shannon_entropy_(item_matrix: np.ndarray) -> float:
+    """−Σ p log p over the recommended-item distribution, divided by the
+    number of distinct recommended items (`metrics.py:570-626` get_entropy)."""
+    _, counts = np.unique(item_matrix.flatten(), return_counts=True)
+    total = item_matrix.size
+    p = counts / total
+    return float(np.sum(-p * np.log(p)) / len(counts))
+
+
+def gini_index_(item_matrix: np.ndarray, num_items: int) -> float:
+    """(`metrics.py:628-646` get_gini exact)."""
+    _, counts = np.unique(item_matrix.flatten(), return_counts=True)
+    sorted_count = np.sort(counts)
+    num_rec = sorted_count.shape[0]
+    total = item_matrix.size
+    idx = np.arange(num_items - num_rec + 1, num_items + 1)
+    gini = np.sum((2 * idx - num_items - 1) * sorted_count) / total
+    return float(gini / num_items)
+
+
+def tail_percentage_(item_matrix: np.ndarray, item_count: np.ndarray,
+                     tail: float = 0.1):
+    """Fraction of long-tail items in recommendations (`metrics.py:684-740`)."""
+    items = np.arange(1, len(item_count))
+    counts = item_count[1:]
+    if tail > 1:
+        tail_items = set(items[counts <= tail].tolist())
+    else:
+        order = np.lexsort((items, counts))
+        cut = max(int(len(items) * tail), 1)
+        tail_items = set(items[order][:cut].tolist())
+    in_tail = np.isin(item_matrix, list(tail_items)).astype(np.float64)
+    return in_tail.cumsum(axis=1) / np.arange(1, item_matrix.shape[1] + 1)
+
+
+ITEM_METRICS = {
+    "itemcoverage", "averagepopularity", "shannonentropy", "giniindex",
+    "tailpercentage",
+}
+
 
 def topk_result(
     metric: str, value: np.ndarray, topk: List[int], decimal_place: int

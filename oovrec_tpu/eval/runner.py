@@ -49,6 +49,8 @@ class EvalRunner:
         self._full_step = None
         self._neg_step = None
         self._predict = None
+        self._masked_scores = None
+        self.train_split = None  # set by the trainer for popularity metrics
 
     # ---------------------------------------------------------- full sort
 
@@ -150,6 +152,22 @@ class EvalRunner:
 
         return step
 
+    def _make_masked_scores(self):
+        from oovrec_tpu.eval.full_sort import apply_masks
+
+        model = self.model
+
+        @jax.jit
+        def step(variables, batch, estate):
+            scores = model.apply(
+                variables, batch, estate, method=model.full_sort_scores
+            )
+            return apply_masks(
+                scores, batch["hist_items"], batch["hist_len"]
+            )
+
+        return step
+
     # ------------------------------------------------------------ driver
 
     def evaluate(
@@ -166,6 +184,11 @@ class EvalRunner:
         batch-skipping sampled validation (`trainer.py:1916-1921`).
         """
         collector = Collector(self.config)
+        if self.train_split is not None and (
+            "data.count_items" in collector.need
+            or "data.num_items" in collector.need
+        ):
+            collector.data_collect(self.train_split)
         estate = _device_estate(self.estate)
 
         from oovrec_tpu.data.sequential import SeqFullSortEvalBatcher
@@ -193,6 +216,23 @@ class EvalRunner:
                 collector.collect_topk(
                     np.asarray(pos_idx), np.asarray(pos_len), batch["weight"]
                 )
+                if "rec.items" in collector.need:
+                    collector.collect_items(
+                        np.asarray(topk_idx), batch["weight"]
+                    )
+                if "rec.meanrank" in collector.need:
+                    from oovrec_tpu.eval.collector import meanrank_from_scores
+
+                    if self._masked_scores is None:
+                        self._masked_scores = self._make_masked_scores()
+                    sc = np.asarray(
+                        self._masked_scores(variables, db, estate)
+                    )
+                    prs, ul, pl = meanrank_from_scores(
+                        sc, np.asarray(batch["pos_items"]),
+                        np.asarray(batch["pos_len"]),
+                    )
+                    collector.collect_meanrank(prs, ul, pl, batch["weight"])
         elif isinstance(eval_loader, NegSampleEvalBatcher):
             if self.eval_type == EvaluatorType.RANKING:
                 if self._neg_step is None:

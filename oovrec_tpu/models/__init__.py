@@ -15,6 +15,8 @@ def get_model_class(name: str):
                 import oovrec_tpu.models.general  # noqa: F401
             elif name in ("GRU4Rec", "SASRec"):
                 import oovrec_tpu.models.sequential  # noqa: F401
+            elif name in ("CKE", "CFKG"):
+                import oovrec_tpu.models.knowledge  # noqa: F401
         except ImportError:
             pass
     if name not in MODEL_REGISTRY:

@@ -247,6 +247,9 @@ class Trainer:
                 iid_field=self.model.iid_field,
             )
         valid_rng = host_rng(int(self.config["seed"] or 0), "valid_sampling")
+        # dataset-level eval resources (popularity metrics; reference's
+        # eval_collector.data_collect(train_data), trainer.py:1549)
+        self.eval_runner.train_split = getattr(train_loader, "split", None)
 
         from oovrec_tpu.utils.enums import ModelType
 

@@ -74,3 +74,17 @@ for idx, i in enumerate(["i1","i2","i3","i4","i5","i6","i7","i8","i9","i10"]):
 w(f"{HERE}/toy-ind_ind/toy-ind_ind.item", item)
 
 print("fixtures written under", HERE)
+
+# ---------------- toy-kg (knowledge graph fixture) ----------------
+import shutil
+shutil.copy(f"{HERE}/toy/toy.inter", f"{HERE}/toy-kg/toy-kg.inter") if os.path.isdir(f"{HERE}/toy-kg") or os.makedirs(f"{HERE}/toy-kg", exist_ok=True) is None else None
+kg = ["head_id:token\trelation_id:token\ttail_id:token"]
+kg += ["e1\tdirected_by\te20", "e2\tdirected_by\te20", "e3\tstarring\te21",
+       "e4\tstarring\te21", "e5\tdirected_by\te22", "e20\tborn_in\te23",
+       "e21\tborn_in\te23", "e6\tstarring\te22"]
+w(f"{HERE}/toy-kg/toy-kg.kg", kg)
+link = ["item_id:token\tentity_id:token"]
+for idx in range(1, 9):
+    link.append(f"i{idx}\te{idx}")
+w(f"{HERE}/toy-kg/toy-kg.link", link)
+print("kg fixture written")
