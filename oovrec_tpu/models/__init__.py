@@ -9,11 +9,13 @@ def get_model_class(name: str):
     # imported lazily to avoid cycles for heavier model families
     if name not in MODEL_REGISTRY:
         try:
-            if name in ("WideDeep", "DCNV2", "xDeepFM", "LR", "FM", "DeepFM"):
+            if name in ("WideDeep", "DCNV2", "xDeepFM", "LR", "FM", "DeepFM",
+                        "DCN", "AutoInt", "FNN", "PNN", "AFM", "FwFM"):
                 import oovrec_tpu.models.context_aware  # noqa: F401
-            elif name in ("Pop", "ItemKNN", "Random", "NeuMF", "LightGCN"):
+            elif name in ("Pop", "ItemKNN", "Random", "NeuMF", "LightGCN",
+                          "EASE", "MultiVAE"):
                 import oovrec_tpu.models.general  # noqa: F401
-            elif name in ("GRU4Rec", "SASRec"):
+            elif name in ("GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC"):
                 import oovrec_tpu.models.sequential  # noqa: F401
             elif name in ("CKE", "CFKG"):
                 import oovrec_tpu.models.knowledge  # noqa: F401

@@ -2,5 +2,6 @@ from oovrec_tpu.models.general.pop import Pop, Random
 from oovrec_tpu.models.general.itemknn import ItemKNN
 from oovrec_tpu.models.general.neumf import NeuMF
 from oovrec_tpu.models.general.lightgcn import LightGCN
+from oovrec_tpu.models.general.more import EASE, MultiVAE
 
-__all__ = ["Pop", "Random", "ItemKNN", "NeuMF", "LightGCN"]
+__all__ = ["Pop", "Random", "ItemKNN", "NeuMF", "LightGCN", "EASE", "MultiVAE"]

@@ -1,4 +1,5 @@
 from oovrec_tpu.models.sequential.gru4rec import GRU4Rec
 from oovrec_tpu.models.sequential.sasrec import SASRec
+from oovrec_tpu.models.sequential.more import FPMC, NARM, STAMP
 
-__all__ = ["GRU4Rec", "SASRec"]
+__all__ = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC"]

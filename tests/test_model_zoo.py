@@ -1,0 +1,62 @@
+"""Model-zoo smoke matrix (the reference's test_model_auto.py pattern):
+every registered model trains 1-2 epochs and produces metrics."""
+
+import pytest
+
+from oovrec_tpu.cli.quick_start import objective_function
+
+from tests.test_more_models import _cfg as gen_cfg
+from tests.test_sequential import _cfg as seq_cfg
+from tests.test_context_models import _ranking_cfg
+from tests.test_knowledge import _cfg as kg_cfg
+
+GENERAL = ["BPR", "DirectAU", "Pop", "Random", "ItemKNN", "NeuMF",
+           "LightGCN", "EASE", "MultiVAE"]
+CONTEXT = ["LR", "FM", "DeepFM", "WideDeep", "DCNV2", "xDeepFM",
+           "DCN", "AutoInt", "FNN", "PNN", "AFM", "FwFM"]
+SEQUENTIAL = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC"]
+KNOWLEDGE = ["CKE", "CFKG"]
+
+
+@pytest.mark.parametrize("model", GENERAL)
+def test_general(model):
+    over = {}
+    if model == "NeuMF":
+        over = {"mlp_hidden_size": [16, 8]}
+    if model == "MultiVAE":
+        over = {"encoder_hidden": [16], "latent_dim": 8}
+    res = objective_function(config_dict=gen_cfg(model, epochs=1, **over),
+                             saved=False)
+    assert "recall@5" in res["test_result"]
+
+
+@pytest.mark.parametrize("model", CONTEXT)
+def test_context(model):
+    over = {"cross_layer_num": 2, "n_layers": 1, "attention_size": 8,
+            "reg_weight": 0.01}
+    res = objective_function(
+        config_dict=_strip(_ranking_cfg(model, epochs=1, **over)),
+        saved=False,
+    )
+    assert "auc" in res["test_result"]
+
+
+def _strip(cfg):
+    return cfg
+
+
+@pytest.mark.parametrize("model", SEQUENTIAL)
+def test_sequential(model):
+    cfg = seq_cfg(model, epochs=1)
+    if model == "FPMC":
+        cfg["train_neg_sample_args"] = {
+            "distribution": "uniform", "sample_num": 1,
+        }
+    res = objective_function(config_dict=cfg, saved=False)
+    assert "recall@5" in res["test_result"]
+
+
+@pytest.mark.parametrize("model", KNOWLEDGE)
+def test_knowledge(model):
+    res = objective_function(config_dict=kg_cfg(model, epochs=1), saved=False)
+    assert "recall@5" in res["test_result"]
