@@ -109,6 +109,10 @@ class TrainBatcher:
         self.user_feat = split.parent.get_user_feature() if split.parent.user_feat is not None else None
         self.item_feat = split.parent.get_item_feature() if split.parent.item_feat is not None else None
 
+        from oovrec_tpu.data.transform import construct_transform
+
+        self.transform = construct_transform(config, n_items=split.item_num)
+
     def __len__(self) -> int:
         return (len(self.split) + self.step - 1) // self.step
 
@@ -181,7 +185,7 @@ class TrainBatcher:
 
         batch = {k: _pad_to(np.asarray(v), total) for k, v in batch.items()}
         batch["weight"] = _pad_to(weight, total)
-        return batch
+        return self.transform(batch)
 
 
 class KGTrainBatcher(TrainBatcher):

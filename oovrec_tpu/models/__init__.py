@@ -15,7 +15,8 @@ def get_model_class(name: str):
             elif name in ("Pop", "ItemKNN", "Random", "NeuMF", "LightGCN",
                           "EASE", "MultiVAE"):
                 import oovrec_tpu.models.general  # noqa: F401
-            elif name in ("GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC"):
+            elif name in ("GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC",
+                          "BERT4Rec"):
                 import oovrec_tpu.models.sequential  # noqa: F401
             elif name in ("CKE", "CFKG"):
                 import oovrec_tpu.models.knowledge  # noqa: F401
