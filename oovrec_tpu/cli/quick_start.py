@@ -137,6 +137,9 @@ def run(
     config = Config(model, dataset, config_file_list, config_dict)
     init_seed(int(config["seed"] or 2020), config["reproducibility"])
     logger = init_logger(config)
+    from oovrec_tpu.utils.precision import set_policy
+
+    set_policy(config.get("compute_dtype", "float32"))
 
     ds = create_dataset(config)
     train_loader, valid_loader, test_loader = data_preparation(config, ds)

@@ -16,11 +16,45 @@ from oovrec_tpu.data.sampler import Sampler
 from oovrec_tpu.utils.enums import InputType
 
 
+DATASET_CACHE_ARGS = (
+    "dataset", "data_path", "load_col", "unload_col", "rm_dup_inter",
+    "val_interval", "user_inter_num_interval", "item_inter_num_interval",
+    "filter_inter_by_user_or_item", "threshold", "normalize_field",
+    "normalize_all", "discretization", "numerical_features", "seed",
+    "benchmark_filename", "MAX_ITEM_LIST_LENGTH",
+)
+
+
+def _dataset_cache_path(config):
+    import hashlib
+    import json as _json
+
+    key = {k: config[k] for k in DATASET_CACHE_ARGS}
+    digest = hashlib.sha1(
+        _json.dumps(key, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+    d = config.get("checkpoint_dir", "saved")
+    return f"{d}/{config['dataset']}-dataset-{digest}.pkl"
+
+
 def create_dataset(config, inductive: bool = False, removal_setting=None):
     """Build the Dataset variant for the model type
-    (`recbole/data/utils.py:28-55` analog)."""
+    (`recbole/data/utils.py:28-55` analog). When `save_dataset` is on, the
+    processed dataset round-trips through a pickle keyed on the dataset
+    arguments (`data/utils.py:57-70` caching)."""
     if inductive:
         return InductiveDataset(config, removal_setting=removal_setting)
+    import os
+    import pickle
+
+    cache_path = None
+    if config.get("save_dataset"):
+        cache_path = config.get("dataset_save_path") or _dataset_cache_path(config)
+        if os.path.isfile(cache_path):
+            with open(cache_path, "rb") as f:
+                ds = pickle.load(f)
+            ds.config = config
+            return ds
     try:
         from oovrec_tpu.models import get_model_class
         from oovrec_tpu.utils.enums import ModelType
@@ -40,7 +74,15 @@ def create_dataset(config, inductive: bool = False, removal_setting=None):
             return KnowledgeBasedDataset(config)
     except (ValueError, ImportError):
         pass
-    return Dataset(config)
+    ds = Dataset(config)
+    if cache_path:
+        import os as _os
+        import pickle as _pickle
+
+        _os.makedirs(_os.path.dirname(cache_path), exist_ok=True)
+        with open(cache_path, "wb") as f:
+            _pickle.dump(ds, f)
+    return ds
 
 
 def eval_mode_to_neg_args(mode: str) -> Optional[dict]:

@@ -39,15 +39,18 @@ class MLPLayers(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from oovrec_tpu.utils.precision import compute_dtype
+
         act = activation_fn(self.activation)
+        dt = compute_dtype()
         for out_size in self.layers[1:]:
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
-            x = nn.Dense(out_size, kernel_init=xavier_normal)(x)
+            x = nn.Dense(out_size, kernel_init=xavier_normal, dtype=dt)(x)
             if self.use_bn:
-                x = nn.BatchNorm(use_running_average=not train)(x)
+                x = nn.BatchNorm(use_running_average=not train, dtype=dt)(x)
             x = act(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 def masked_mean_pool(emb: jnp.ndarray, mask: jnp.ndarray, eps: float = 1e-8):

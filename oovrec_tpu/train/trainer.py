@@ -86,6 +86,15 @@ class Trainer:
         self._train_step = None
         self._train_step_frozen = None
 
+        # observability: JSONL metrics stream (tensorboard-scalar analog,
+        # `trainer.py:371-407`) + optional jax profiler trace
+        self.metrics_log_path = config.get("metrics_log_path")
+        self.profile_dir = config.get("profile_dir")
+        self._profiling = False
+        from oovrec_tpu.utils.wandblogger import WandbLogger
+
+        self.wandblogger = WandbLogger(config)
+
         # inductive regime
         self.train_oov = bool(config["train_oov"])
         self.oov_only_epoch = bool(config["oov_only_epoch"])
@@ -269,6 +278,11 @@ class Trainer:
 
         for epoch_idx in range(self.start_epoch, self.epochs):
             t0 = time.time()
+            if self.profile_dir and epoch_idx == self.start_epoch:
+                import jax.profiler
+
+                jax.profiler.start_trace(self.profile_dir)
+                self._profiling = True
             if self.train_oov and not self.oov_only_epoch:
                 train_loss = self._train_epoch(
                     train_loader, epoch_idx, oov_transform=self._augment_batch
@@ -276,6 +290,9 @@ class Trainer:
             else:
                 train_loss = self._train_epoch(train_loader, epoch_idx)
             self.train_loss_dict[epoch_idx] = train_loss
+            self._log_metrics(
+                {"epoch": epoch_idx, "train_loss": train_loss}, head="train"
+            )
 
             oov_loss = None
             if self.train_oov and self.oov_only_epoch:
@@ -341,13 +358,35 @@ class Trainer:
                     self.best_valid_result = valid_result
                 if callback_fn:
                     callback_fn(epoch_idx, valid_score)
+                self._log_metrics(
+                    {**{k: float(v) for k, v in valid_result.items()},
+                     "epoch": epoch_idx},
+                    head="valid",
+                )
+                self.wandblogger.log_metrics(
+                    dict(valid_result), head="valid"
+                )
                 if stop_flag:
                     self.logger.info(
                         "Finished training, best eval result in epoch %d"
                         % (epoch_idx - self.cur_step * self.eval_step)
                     )
                     break
+        if self._profiling:
+            import jax.profiler
+
+            jax.profiler.stop_trace()
+            self._profiling = False
         return self.best_valid_score, self.best_valid_result
+
+    def _log_metrics(self, metrics: dict, head: str = "train") -> None:
+        if not self.metrics_log_path:
+            return
+        import json
+
+        os.makedirs(os.path.dirname(self.metrics_log_path) or ".", exist_ok=True)
+        with open(self.metrics_log_path, "a") as f:
+            f.write(json.dumps({"head": head, **metrics}) + "\n")
 
     # ------------------------------------------------------------ eval
 
