@@ -613,6 +613,21 @@ class Dataset:
             return {self.iid_field: np.arange(self.item_num)}
         return _frame_to_arrays(self.item_feat, self.field2type)
 
+    def history_item_matrix(self, max_history_len: Optional[int] = None):
+        """(history (n_users, H), lengths (n_users,)) padded per-user item
+        histories (`dataset.py:2073` analog)."""
+        uid = self.inter_feat[self.uid_field].values
+        iid = self.inter_feat[self.iid_field].values
+        counts = np.bincount(uid, minlength=self.user_num)
+        H = max_history_len or (int(counts.max()) if len(counts) else 1)
+        out = np.zeros((self.user_num, H), dtype=np.int64)
+        lens = np.zeros(self.user_num, dtype=np.int64)
+        for u, i in zip(uid, iid):
+            if lens[u] < H:
+                out[u, lens[u]] = i
+                lens[u] += 1
+        return out, lens
+
     def inter_matrix(self, form: str = "coo", value_field: Optional[str] = None):
         """Sparse user×item interaction matrix (`dataset.py:1968`)."""
         import scipy.sparse as sp

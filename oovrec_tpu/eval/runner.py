@@ -46,8 +46,8 @@ class EvalRunner:
         self.estate = estate
         self.maxk = max(config["topk"])
         self.eval_type = config["eval_type"]
-        self._full_step = None
-        self._neg_step = None
+        self._full_steps = {}
+        self._neg_steps = {}
         self._predict = None
         self._masked_scores = None
         self.train_split = None  # set by the trainer for popularity metrics
@@ -194,13 +194,15 @@ class EvalRunner:
         from oovrec_tpu.data.sequential import SeqFullSortEvalBatcher
 
         if isinstance(eval_loader, (FullSortEvalBatcher, SeqFullSortEvalBatcher)):
-            if self._full_step is None:
+            key = eval_loader.item_num
+            if key not in self._full_steps:
                 if self._use_fused(eval_loader.item_num):
-                    self._full_step = self._make_fused_full_step(
+                    self._full_steps[key] = self._make_fused_full_step(
                         eval_loader.item_num
                     )
                 else:
-                    self._full_step = self._make_full_step()
+                    self._full_steps[key] = self._make_full_step()
+            full_step = self._full_steps[key]
             for i, batch in enumerate(eval_loader):
                 if (
                     sample_eval_ratio is not None
@@ -210,7 +212,7 @@ class EvalRunner:
                 ):
                     continue
                 db = to_device_batch(batch)
-                topk_idx, pos_idx, pos_len = self._full_step(
+                topk_idx, pos_idx, pos_len = full_step(
                     variables, db, estate
                 )
                 collector.collect_topk(
@@ -235,10 +237,12 @@ class EvalRunner:
                     collector.collect_meanrank(prs, ul, pl, batch["weight"])
         elif isinstance(eval_loader, NegSampleEvalBatcher):
             if self.eval_type == EvaluatorType.RANKING:
-                if self._neg_step is None:
-                    self._neg_step = self._make_neg_step(
+                key = (eval_loader.item_num, eval_loader.max_users)
+                if key not in self._neg_steps:
+                    self._neg_steps[key] = self._make_neg_step(
                         eval_loader.item_num, eval_loader.max_users
                     )
+                neg_step = self._neg_steps[key]
                 for i, batch in enumerate(eval_loader):
                     if (
                         sample_eval_ratio is not None
@@ -248,7 +252,7 @@ class EvalRunner:
                     ):
                         continue
                     db = to_device_batch(batch)
-                    topk_idx, pos_idx, pos_len = self._neg_step(
+                    topk_idx, pos_idx, pos_len = neg_step(
                         variables, db, estate
                     )
                     user_w = (
