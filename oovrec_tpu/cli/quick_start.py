@@ -85,7 +85,15 @@ def build_model_and_state(config, dataset, mode: str = "transductive",
         v = config[f.name]
         if v is None:
             continue
-        kwargs[f.name] = tuple(v) if isinstance(v, list) else v
+        if isinstance(v, list):
+            v = tuple(v)
+        elif f.type in ("float", float) and isinstance(v, (str, int)):
+            v = float(v)  # YAML quirk: '1e-05' parses as a string
+        elif f.type in ("int", int) and isinstance(v, str):
+            v = int(v)
+        elif f.type in ("bool", bool) and isinstance(v, str):
+            v = v.lower() in ("true", "1", "yes")
+        kwargs[f.name] = v
     model = cls(**kwargs)
 
     estate = {}

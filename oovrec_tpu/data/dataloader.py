@@ -86,6 +86,11 @@ class TrainBatcher:
         self.sample_num = (
             int(nsa.get("sample_num", 0)) if self.distribution != "none" else 0
         )
+        # dynamic hard-negative sampling (`abstract_dataloader.py:183-205`):
+        # draw sample_num*candidate_num candidates, keep the model-hardest
+        self.dynamic = bool(nsa.get("dynamic", False))
+        self.candidate_num = int(nsa.get("candidate_num", 0) or 0)
+        self._scorer = None  # set via set_model_scorer(fn(users, items)->scores)
         if self.distribution == "none" or self.sample_num == 0:
             self.times = 1
             self.mode = "plain"
@@ -112,6 +117,30 @@ class TrainBatcher:
         from oovrec_tpu.data.transform import construct_transform
 
         self.transform = construct_transform(config, n_items=split.item_num)
+
+    def set_model_scorer(self, fn) -> None:
+        """Register the scoring callback for dynamic negative sampling
+        (the reference's `get_model`, `abstract_dataloader.py:237`)."""
+        self._scorer = fn
+
+    def _sample_negs(self, users: np.ndarray) -> np.ndarray:
+        """(len(users), sample_num) negatives; dynamic mode keeps the
+        highest-scoring of candidate_num draws per slot."""
+        if not (self.dynamic and self.candidate_num > 1 and self._scorer):
+            return self.sampler.sample_negatives(
+                self.phase, users, self.sample_num
+            )
+        cand = self.sampler.sample_negatives(
+            self.phase, users, self.sample_num * self.candidate_num
+        )  # (B, num*cand)
+        B = len(users)
+        cand = cand.reshape(B, self.sample_num, self.candidate_num)
+        rep_u = np.repeat(users, self.sample_num * self.candidate_num)
+        scores = np.asarray(
+            self._scorer(rep_u, cand.reshape(-1))
+        ).reshape(B, self.sample_num, self.candidate_num)
+        pick = scores.argmax(axis=2)
+        return np.take_along_axis(cand, pick[:, :, None], axis=2)[:, :, 0]
 
     def __len__(self) -> int:
         return (len(self.split) + self.step - 1) // self.step
@@ -146,7 +175,7 @@ class TrainBatcher:
         n_real = len(idx)
 
         if self.mode == "pairwise":
-            neg = self.sampler.sample_negatives(self.phase, users, self.sample_num)
+            neg = self._sample_negs(users)
             # tile rows `times` and align negatives column-major like the
             # reference's repeat layout
             batch: Batch = {
@@ -162,7 +191,7 @@ class TrainBatcher:
             weight[: n_real * self.times] = 1.0
             total = self.step * self.times
         elif self.mode == "pointwise":
-            neg = self.sampler.sample_negatives(self.phase, users, self.sample_num)
+            neg = self._sample_negs(users)
             batch = {
                 k: np.tile(v, (self.times,) + (1,) * (v.ndim - 1))
                 for k, v in rows.items()

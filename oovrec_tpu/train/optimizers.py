@@ -8,7 +8,62 @@ torch-semantics notes:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
 import optax
+
+
+class ScaleByLazyAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def scale_by_lazy_adam(b1=0.9, b2=0.999, eps=1e-8):
+    """torch SparseAdam semantics: rows of 2D (embedding-like) params whose
+    gradient is entirely zero skip the moment update AND produce no
+    parameter update — the step cost becomes O(touched rows) of HBM
+    traffic instead of O(vocab). 1D/scalar params fall back to dense adam.
+    """
+
+    def init(params):
+        z = jax.tree.map(jnp.zeros_like, params)
+        return ScaleByLazyAdamState(jnp.zeros([], jnp.int32), z,
+                                    jax.tree.map(jnp.zeros_like, params))
+
+    def update(updates, state, params=None):
+        count = state.count + 1
+
+        def upd(g, mu, nu):
+            if g.ndim == 2:
+                touched = jnp.any(g != 0, axis=1, keepdims=True)
+                new_mu = jnp.where(touched, b1 * mu + (1 - b1) * g, mu)
+                new_nu = jnp.where(touched, b2 * nu + (1 - b2) * g * g, nu)
+                mu_hat = new_mu / (1 - b1**count)
+                nu_hat = new_nu / (1 - b2**count)
+                step = jnp.where(
+                    touched, mu_hat / (jnp.sqrt(nu_hat) + eps), 0.0
+                )
+                return step, new_mu, new_nu
+            new_mu = b1 * mu + (1 - b1) * g
+            new_nu = b2 * nu + (1 - b2) * g * g
+            step = (new_mu / (1 - b1**count)) / (
+                jnp.sqrt(new_nu / (1 - b2**count)) + eps
+            )
+            return step, new_mu, new_nu
+
+        flat_u, treedef = jax.tree_util.tree_flatten(updates)
+        flat_mu = treedef.flatten_up_to(state.mu)
+        flat_nu = treedef.flatten_up_to(state.nu)
+        out = [upd(g, m, n) for g, m, n in zip(flat_u, flat_mu, flat_nu)]
+        steps = jax.tree_util.tree_unflatten(treedef, [o[0] for o in out])
+        mus = jax.tree_util.tree_unflatten(treedef, [o[1] for o in out])
+        nus = jax.tree_util.tree_unflatten(treedef, [o[2] for o in out])
+        return steps, ScaleByLazyAdamState(count, mus, nus)
+
+    return optax.GradientTransformation(init, update)
 
 
 def build_optimizer(learner: str, learning_rate: float, weight_decay: float = 0.0):
@@ -25,7 +80,7 @@ def build_optimizer(learner: str, learning_rate: float, weight_decay: float = 0.
     elif learner == "rmsprop":
         txs.append(optax.scale_by_rms())
     elif learner == "sparse_adam":
-        txs.append(optax.scale_by_adam())
+        txs.append(scale_by_lazy_adam())
     else:
         # reference falls back to adam with a warning
         txs.append(optax.scale_by_adam())

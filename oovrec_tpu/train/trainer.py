@@ -256,6 +256,29 @@ class Trainer:
                 iid_field=self.model.iid_field,
             )
         valid_rng = host_rng(int(self.config["seed"] or 0), "valid_sampling")
+        # dynamic hard-negative sampling: give the batcher a jitted scorer
+        # bound to the CURRENT params (the reference's train_data.get_model,
+        # `trainer.py:1551`)
+        nsa = self.config["train_neg_sample_args"] or {}
+        if nsa.get("dynamic") and hasattr(train_loader, "set_model_scorer"):
+            import jax.numpy as jnp
+
+            model = self.model
+
+            @jax.jit
+            def _score(params, users, items):
+                b = {model.uid_field: users, model.iid_field: items}
+                return model.apply(
+                    {"params": params}, b, {}, method=model.predict
+                )
+
+            train_loader.set_model_scorer(
+                lambda u, i: _score(
+                    self.variables["params"],
+                    jnp.asarray(u.astype(np.int32)),
+                    jnp.asarray(i.astype(np.int32)),
+                )
+            )
         # dataset-level eval resources (popularity metrics; reference's
         # eval_collector.data_collect(train_data), trainer.py:1549)
         self.eval_runner.train_split = getattr(train_loader, "split", None)
@@ -279,9 +302,9 @@ class Trainer:
         for epoch_idx in range(self.start_epoch, self.epochs):
             t0 = time.time()
             if self.profile_dir and epoch_idx == self.start_epoch:
-                import jax.profiler
+                from jax import profiler as _jprof
 
-                jax.profiler.start_trace(self.profile_dir)
+                _jprof.start_trace(self.profile_dir)
                 self._profiling = True
             if self.train_oov and not self.oov_only_epoch:
                 train_loss = self._train_epoch(
@@ -373,9 +396,9 @@ class Trainer:
                     )
                     break
         if self._profiling:
-            import jax.profiler
+            from jax import profiler as _jprof
 
-            jax.profiler.stop_trace()
+            _jprof.stop_trace()
             self._profiling = False
         return self.best_valid_score, self.best_valid_result
 

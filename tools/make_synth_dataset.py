@@ -89,16 +89,28 @@ def generate(out: str, name: str, n_users: int, n_items: int, n_inters: int,
         with open(path, "w") as f:
             f.write("\n".join(lines) + "\n")
 
+    # vector features (the reference datasets carry *_vector float_seq
+    # columns; multi-dim blocks are what make per-feature L2 normalization
+    # discriminative for the LSH/kNN/DNN embedders)
+    u_vec = (U[:, :4] + 0.3 * rng.standard_normal((n_users, 4))).round(4)
+    i_vec = (I[:, :4] + 0.3 * rng.standard_normal((n_items, 4))).round(4)
+
     def user_rows(ids):
         return [
-            f"u{u}\t{u_age[u]}\tg{u_group[u]}" for u in ids
+            f"u{u}\t{u_age[u]}\tg{u_group[u]}\t"
+            + " ".join(map(str, u_vec[u]))
+            for u in ids
         ]
 
     def item_rows(ids):
-        return [f"i{i}\t{i_price[i]}\tc{i_cat[i]}" for i in ids]
+        return [
+            f"i{i}\t{i_price[i]}\tc{i_cat[i]}\t"
+            + " ".join(map(str, i_vec[i]))
+            for i in ids
+        ]
 
-    uh = "user_id:token\tage:float\tgroup:token"
-    ih = "item_id:token\tprice:float\tcategory:token"
+    uh = "user_id:token\tage:float\tgroup:token\tuser_vector:float_seq"
+    ih = "item_id:token\tprice:float\tcategory:token\titem_vector:float_seq"
 
     # training corpus (old rows marked -1, new rows 1). Its feature files
     # contain OLD entities only — new entities exist solely in the _ind
