@@ -217,6 +217,53 @@ class TrainBatcher:
         return self.transform(batch)
 
 
+class UserTrainBatcher:
+    """Batches of unique train users (`user_dataloader.py` analog) for
+    autoencoder-family models (MultiVAE/MultiDAE/RecVAE/...), which consume
+    a user's whole interaction vector instead of (user, item) rows."""
+
+    def __init__(self, split: DatasetSplit, config, batch_size=None,
+                 shuffle: bool = True):
+        self.split = split
+        self.config = config
+        self.uid_field = split.uid_field
+        self.iid_field = split.iid_field
+        self.label_field = split.label_field
+        self.uid_list = np.unique(split.inter[self.uid_field])
+        self.uid_list = self.uid_list[self.uid_list != 0]
+        self.batch_size = batch_size or config["train_batch_size"]
+        self.shuffle = shuffle
+        self._epoch = 0
+
+    def __len__(self):
+        return (len(self.uid_list) + self.batch_size - 1) // self.batch_size
+
+    def _make_batch(self, idx):
+        sel = self.uid_list[np.asarray(idx) % len(self.uid_list)]
+        n = len(sel)
+        return {
+            self.uid_field: _pad_to(sel, max(n, 2)),
+            "weight": _pad_to(np.ones(n, np.float32), max(n, 2)),
+        }
+
+    def __iter__(self):
+        order = np.arange(len(self.uid_list))
+        if self.shuffle:
+            rng = host_rng(
+                int(self.config["seed"] or 0) + self._epoch, "user_batcher"
+            )
+            rng.shuffle(order)
+        self._epoch += 1
+        B = self.batch_size
+        for start in range(0, len(order), B):
+            sel = self.uid_list[order[start : start + B]]
+            n = len(sel)
+            yield {
+                self.uid_field: _pad_to(sel, B),
+                "weight": _pad_to(np.ones(n, np.float32), B),
+            }
+
+
 class KGTrainBatcher(TrainBatcher):
     """Training batches carrying a sampled KG-triple block alongside the
     rec fields (knowledge_dataloader.py analog): per batch, `step` triples

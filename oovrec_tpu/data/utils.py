@@ -119,6 +119,15 @@ def data_preparation(config, dataset) -> Tuple[TrainBatcher, object, object]:
     )
 
     input_type = config["MODEL_INPUT_TYPE"] or InputType.POINTWISE
+    train_on_users = False
+    try:
+        from oovrec_tpu.models import get_model_class
+
+        train_on_users = bool(
+            getattr(get_model_class(config["model"]), "train_on_users", False)
+        )
+    except (ValueError, ImportError):
+        pass
     from oovrec_tpu.data.kg_dataset import KnowledgeBasedDataset
 
     if isinstance(dataset, KnowledgeBasedDataset):
@@ -134,6 +143,10 @@ def data_preparation(config, dataset) -> Tuple[TrainBatcher, object, object]:
             train_split, sampler, config, input_type, phase="train",
             kg_dataset=dataset, kg_sampler=kg_sampler,
         )
+    elif train_on_users:
+        from oovrec_tpu.data.dataloader import UserTrainBatcher
+
+        train_loader = UserTrainBatcher(train_split, config)
     else:
         train_loader = TrainBatcher(
             train_split, sampler, config, input_type, phase="train"

@@ -60,6 +60,7 @@ class MultiVAE(GeneralRecommender):
     interaction vector with multinomial likelihood + KL annealing."""
 
     input_type = InputType.POINTWISE
+    train_on_users = True
     latent_dim: int = 64
     encoder_hidden: Tuple[int, ...] = (256,)
     dropout_prob: float = 0.5

@@ -1,0 +1,76 @@
+"""Lazy (sparse) adam, dynamic negative sampling, distributed helpers."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from oovrec_tpu.cli.quick_start import objective_function
+from oovrec_tpu.parallel.distributed import (
+    initialize_distributed,
+    map_reduce_metrics,
+)
+from oovrec_tpu.train.optimizers import build_optimizer, scale_by_lazy_adam
+
+from tests.test_more_models import _cfg
+
+
+def test_lazy_adam_freezes_untouched_rows():
+    tx = optax.chain(scale_by_lazy_adam(), optax.scale(-0.1))
+    p = {"emb": jnp.ones((6, 3)), "b": jnp.ones((3,))}
+    g = {"emb": jnp.zeros((6, 3)).at[2].set(1.0), "b": jnp.ones((3,))}
+    st = tx.init(p)
+    u, st = tx.update(g, st, p)
+    p2 = optax.apply_updates(p, u)
+    np.testing.assert_allclose(np.asarray(p2["emb"])[0], 1.0)
+    assert not np.allclose(np.asarray(p2["emb"])[2], 1.0)
+    # zero step afterwards: frozen rows stay exactly (dense adam would drift)
+    u, st = tx.update(
+        {"emb": jnp.zeros((6, 3)), "b": jnp.zeros((3,))}, st, p2
+    )
+    p3 = optax.apply_updates(p2, u)
+    np.testing.assert_array_equal(np.asarray(p3["emb"]), np.asarray(p2["emb"]))
+
+
+def test_lazy_adam_matches_adam_when_all_touched():
+    dense = optax.chain(optax.scale_by_adam(), optax.scale(-0.01))
+    lazy = optax.chain(scale_by_lazy_adam(), optax.scale(-0.01))
+    p = jnp.ones((4, 3))
+    g = jnp.full((4, 3), 0.5)
+    sd, sl = dense.init(p), lazy.init(p)
+    for _ in range(3):
+        ud, sd = dense.update(g, sd, p)
+        ul, sl = lazy.update(g, sl, p)
+        # optax factors its bias corrections slightly differently; the
+        # match is to ~1e-4 relative, which is all the semantics require
+        np.testing.assert_allclose(np.asarray(ud), np.asarray(ul), atol=1e-4)
+
+
+def test_sparse_adam_end_to_end():
+    res = objective_function(
+        config_dict=_cfg("BPR", learner="sparse_adam"), saved=False
+    )
+    assert "recall@5" in res["test_result"]
+
+
+def test_dynamic_negative_sampling_end_to_end():
+    res = objective_function(
+        config_dict=_cfg(
+            "BPR",
+            train_neg_sample_args={
+                "distribution": "uniform", "sample_num": 1,
+                "dynamic": True, "candidate_num": 4,
+            },
+        ),
+        saved=False,
+    )
+    assert "recall@5" in res["test_result"]
+
+
+def test_distributed_single_host():
+    info = initialize_distributed()
+    assert info["process_count"] == 1
+    r = map_reduce_metrics({"recall@10": 0.5}, 100)
+    assert r["recall@10"] == 0.5
