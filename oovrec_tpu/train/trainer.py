@@ -188,6 +188,9 @@ class Trainer:
         opt_state = self.opt_state
         estate = _device_estate(self.estate)
         total_loss = None
+        losses = []
+        n_examples = 0
+        t_epoch = time.time()
         for batch in train_loader:
             if keep_ratio is not None and self._oov_rng.random() > keep_ratio:
                 continue
@@ -209,14 +212,22 @@ class Trainer:
             )
             if "batch_stats" in new_vars:
                 extra_vars = dict(extra_vars, batch_stats=new_vars["batch_stats"])
-            loss = float(loss)
-            if np.isnan(loss):
-                raise ValueError("Training loss is nan")
-            total_loss = loss if total_loss is None else total_loss + loss
+            # do NOT block on the loss here: keeping it a device value lets
+            # host batch assembly overlap device compute (the reference's
+            # per-batch .item() is the stall we're removing)
+            losses.append(loss)
+            n_examples += int(np.asarray(batch["weight"]).sum())
             if self.config["oov_debug_skip_train"]:
                 break
         self.variables = dict(extra_vars, params=params)
         self.opt_state = opt_state
+        if losses:
+            vals = np.asarray(jax.device_get(losses), dtype=np.float64)
+            if np.isnan(vals).any():
+                raise ValueError("Training loss is nan")
+            total_loss = float(vals.sum())
+        dt = max(time.time() - t_epoch, 1e-9)
+        self.last_examples_per_sec = n_examples / dt
         return total_loss
 
     def _augment_batch(self, batch: dict) -> dict:
@@ -314,7 +325,14 @@ class Trainer:
                 train_loss = self._train_epoch(train_loader, epoch_idx)
             self.train_loss_dict[epoch_idx] = train_loss
             self._log_metrics(
-                {"epoch": epoch_idx, "train_loss": train_loss}, head="train"
+                {
+                    "epoch": epoch_idx,
+                    "train_loss": train_loss,
+                    "examples_per_sec": round(
+                        getattr(self, "last_examples_per_sec", 0.0), 1
+                    ),
+                },
+                head="train",
             )
 
             oov_loss = None
