@@ -10,13 +10,14 @@ def get_model_class(name: str):
     if name not in MODEL_REGISTRY:
         try:
             if name in ("WideDeep", "DCNV2", "xDeepFM", "LR", "FM", "DeepFM",
-                        "DCN", "AutoInt", "FNN", "PNN", "AFM", "FwFM"):
+                        "DCN", "AutoInt", "FNN", "PNN", "AFM", "FwFM", "FFM"):
                 import oovrec_tpu.models.context_aware  # noqa: F401
             elif name in ("Pop", "ItemKNN", "Random", "NeuMF", "LightGCN",
-                          "EASE", "MultiVAE"):
+                          "EASE", "MultiVAE", "MultiDAE", "CDAE", "DMF",
+                          "SimpleX", "NGCF", "SGL"):
                 import oovrec_tpu.models.general  # noqa: F401
             elif name in ("GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC",
-                          "BERT4Rec"):
+                          "BERT4Rec", "Caser", "NextItNet", "DIN", "DIEN"):
                 import oovrec_tpu.models.sequential  # noqa: F401
             elif name in ("CKE", "CFKG"):
                 import oovrec_tpu.models.knowledge  # noqa: F401

@@ -3,8 +3,9 @@ from oovrec_tpu.models.context_aware.dcnv2 import DCNV2
 from oovrec_tpu.models.context_aware.xdeepfm import xDeepFM
 from oovrec_tpu.models.context_aware.basic import LR, FM, DeepFM
 from oovrec_tpu.models.context_aware.more import AFM, AutoInt, DCN, FNN, FwFM, PNN
+from oovrec_tpu.models.context_aware.ffm import FFM
 
 __all__ = [
     "WideDeep", "DCNV2", "xDeepFM", "LR", "FM", "DeepFM",
-    "DCN", "AutoInt", "FNN", "PNN", "AFM", "FwFM",
+    "DCN", "AutoInt", "FNN", "PNN", "AFM", "FwFM", "FFM",
 ]

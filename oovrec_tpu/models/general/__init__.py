@@ -3,5 +3,9 @@ from oovrec_tpu.models.general.itemknn import ItemKNN
 from oovrec_tpu.models.general.neumf import NeuMF
 from oovrec_tpu.models.general.lightgcn import LightGCN
 from oovrec_tpu.models.general.more import EASE, MultiVAE
+from oovrec_tpu.models.general.more2 import CDAE, DMF, MultiDAE, NGCF, SGL, SimpleX
 
-__all__ = ["Pop", "Random", "ItemKNN", "NeuMF", "LightGCN", "EASE", "MultiVAE"]
+__all__ = [
+    "Pop", "Random", "ItemKNN", "NeuMF", "LightGCN", "EASE", "MultiVAE",
+    "MultiDAE", "CDAE", "DMF", "SimpleX", "NGCF", "SGL",
+]

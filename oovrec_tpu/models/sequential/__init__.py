@@ -2,5 +2,8 @@ from oovrec_tpu.models.sequential.gru4rec import GRU4Rec
 from oovrec_tpu.models.sequential.sasrec import SASRec
 from oovrec_tpu.models.sequential.more import FPMC, NARM, STAMP
 from oovrec_tpu.models.sequential.bert4rec import BERT4Rec
+from oovrec_tpu.models.sequential.convs import Caser, NextItNet
+from oovrec_tpu.models.sequential.din import DIEN, DIN
 
-__all__ = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC", "BERT4Rec"]
+__all__ = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC", "BERT4Rec",
+           "Caser", "NextItNet", "DIN", "DIEN"]

@@ -11,10 +11,12 @@ from tests.test_context_models import _ranking_cfg
 from tests.test_knowledge import _cfg as kg_cfg
 
 GENERAL = ["BPR", "DirectAU", "Pop", "Random", "ItemKNN", "NeuMF",
-           "LightGCN", "EASE", "MultiVAE"]
+           "LightGCN", "EASE", "MultiVAE", "MultiDAE", "CDAE", "DMF",
+           "SimpleX", "NGCF", "SGL"]
 CONTEXT = ["LR", "FM", "DeepFM", "WideDeep", "DCNV2", "xDeepFM",
-           "DCN", "AutoInt", "FNN", "PNN", "AFM", "FwFM"]
-SEQUENTIAL = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC"]
+           "DCN", "AutoInt", "FNN", "PNN", "AFM", "FwFM", "FFM"]
+SEQUENTIAL = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC", "Caser",
+              "NextItNet", "DIN", "DIEN"]
 KNOWLEDGE = ["CKE", "CFKG"]
 
 
@@ -23,8 +25,14 @@ def test_general(model):
     over = {}
     if model == "NeuMF":
         over = {"mlp_hidden_size": [16, 8]}
-    if model == "MultiVAE":
+    if model in ("MultiVAE", "MultiDAE"):
         over = {"encoder_hidden": [16], "latent_dim": 8}
+    if model == "DMF":
+        over = {"user_hidden": [16], "item_hidden": [16]}
+    if model == "NGCF":
+        over = {"hidden_size_list": [8, 8]}
+    if model == "SGL":
+        over = {"n_layers": 1}
     res = objective_function(config_dict=gen_cfg(model, epochs=1, **over),
                              saved=False)
     assert "recall@5" in res["test_result"]
@@ -34,6 +42,8 @@ def test_general(model):
 def test_context(model):
     over = {"cross_layer_num": 2, "n_layers": 1, "attention_size": 8,
             "reg_weight": 0.01}
+    if model == "FFM":
+        over["embedding_size"] = 4
     res = objective_function(
         config_dict=_strip(_ranking_cfg(model, epochs=1, **over)),
         saved=False,
@@ -48,10 +58,14 @@ def _strip(cfg):
 @pytest.mark.parametrize("model", SEQUENTIAL)
 def test_sequential(model):
     cfg = seq_cfg(model, epochs=1)
-    if model == "FPMC":
+    if model in ("FPMC", "DIN", "DIEN"):
         cfg["train_neg_sample_args"] = {
             "distribution": "uniform", "sample_num": 1,
         }
+    if model in ("DIN", "DIEN"):
+        cfg.update(mlp_hidden_size=[16], att_hidden=[8])
+    if model == "Caser":
+        cfg.update(n_h=4, n_v=2)
     res = objective_function(config_dict=cfg, saved=False)
     assert "recall@5" in res["test_result"]
 
