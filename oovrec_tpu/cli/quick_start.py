@@ -74,6 +74,10 @@ def build_model_and_state(config, dataset, mode: str = "transductive",
             n_items=n_items,
             embedding_size=int(config.get("embedding_size", 64)),
         )
+        from oovrec_tpu.utils.enums import ModelType as _MT
+
+        if getattr(cls, "model_type", None) == _MT.SEQUENTIAL:
+            kwargs["max_seq_length"] = int(config["MAX_ITEM_LIST_LENGTH"])
         if hasattr(dataset, "entity_num"):
             kwargs["n_entities"] = dataset.entity_num
             kwargs["n_relations"] = dataset.relation_num

@@ -14,12 +14,14 @@ def get_model_class(name: str):
                 import oovrec_tpu.models.context_aware  # noqa: F401
             elif name in ("Pop", "ItemKNN", "Random", "NeuMF", "LightGCN",
                           "EASE", "MultiVAE", "MultiDAE", "CDAE", "DMF",
-                          "SimpleX", "NGCF", "SGL"):
+                          "SimpleX", "NGCF", "SGL", "FISM", "NAIS", "ENMF",
+                          "LINE", "ConvNCF", "SLIMElastic"):
                 import oovrec_tpu.models.general  # noqa: F401
             elif name in ("GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC",
-                          "BERT4Rec", "Caser", "NextItNet", "DIN", "DIEN"):
+                          "BERT4Rec", "Caser", "NextItNet", "DIN", "DIEN",
+                          "HGN", "FOSSIL", "TransRec"):
                 import oovrec_tpu.models.sequential  # noqa: F401
-            elif name in ("CKE", "CFKG"):
+            elif name in ("CKE", "CFKG", "KGAT"):
                 import oovrec_tpu.models.knowledge  # noqa: F401
         except ImportError:
             pass

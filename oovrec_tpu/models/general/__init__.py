@@ -4,8 +4,12 @@ from oovrec_tpu.models.general.neumf import NeuMF
 from oovrec_tpu.models.general.lightgcn import LightGCN
 from oovrec_tpu.models.general.more import EASE, MultiVAE
 from oovrec_tpu.models.general.more2 import CDAE, DMF, MultiDAE, NGCF, SGL, SimpleX
+from oovrec_tpu.models.general.more3 import (
+    ConvNCF, ENMF, FISM, LINE, NAIS, SLIMElastic,
+)
 
 __all__ = [
     "Pop", "Random", "ItemKNN", "NeuMF", "LightGCN", "EASE", "MultiVAE",
     "MultiDAE", "CDAE", "DMF", "SimpleX", "NGCF", "SGL",
+    "FISM", "NAIS", "ENMF", "LINE", "ConvNCF", "SLIMElastic",
 ]

@@ -12,12 +12,13 @@ from tests.test_knowledge import _cfg as kg_cfg
 
 GENERAL = ["BPR", "DirectAU", "Pop", "Random", "ItemKNN", "NeuMF",
            "LightGCN", "EASE", "MultiVAE", "MultiDAE", "CDAE", "DMF",
-           "SimpleX", "NGCF", "SGL"]
+           "SimpleX", "NGCF", "SGL", "FISM", "NAIS", "ENMF", "LINE",
+           "ConvNCF", "SLIMElastic"]
 CONTEXT = ["LR", "FM", "DeepFM", "WideDeep", "DCNV2", "xDeepFM",
            "DCN", "AutoInt", "FNN", "PNN", "AFM", "FwFM", "FFM"]
 SEQUENTIAL = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC", "Caser",
-              "NextItNet", "DIN", "DIEN"]
-KNOWLEDGE = ["CKE", "CFKG"]
+              "NextItNet", "DIN", "DIEN", "HGN", "FOSSIL", "TransRec"]
+KNOWLEDGE = ["CKE", "CFKG", "KGAT"]
 
 
 @pytest.mark.parametrize("model", GENERAL)
@@ -33,6 +34,10 @@ def test_general(model):
         over = {"hidden_size_list": [8, 8]}
     if model == "SGL":
         over = {"n_layers": 1}
+    if model == "NAIS":
+        over = {"weight_size": 8}
+    if model == "ConvNCF":
+        over = {"embedding_size": 8, "cnn_channels": [8, 8]}
     res = objective_function(config_dict=gen_cfg(model, epochs=1, **over),
                              saved=False)
     assert "recall@5" in res["test_result"]
@@ -58,7 +63,7 @@ def _strip(cfg):
 @pytest.mark.parametrize("model", SEQUENTIAL)
 def test_sequential(model):
     cfg = seq_cfg(model, epochs=1)
-    if model in ("FPMC", "DIN", "DIEN"):
+    if model in ("FPMC", "DIN", "DIEN", "TransRec"):
         cfg["train_neg_sample_args"] = {
             "distribution": "uniform", "sample_num": 1,
         }
@@ -72,5 +77,7 @@ def test_sequential(model):
 
 @pytest.mark.parametrize("model", KNOWLEDGE)
 def test_knowledge(model):
-    res = objective_function(config_dict=kg_cfg(model, epochs=1), saved=False)
+    over = {"layers": [8]} if model == "KGAT" else {}
+    res = objective_function(config_dict=kg_cfg(model, epochs=1, **over),
+                             saved=False)
     assert "recall@5" in res["test_result"]
