@@ -602,6 +602,22 @@ class Dataset:
 
     # ------------------------------------------------------------- exports
 
+    def __repr__(self) -> str:
+        try:
+            n_u, n_i, n = self.user_num - 1, self.item_num - 1, len(self)
+            sparsity = 100 * (1 - n / max(n_u * n_i, 1))
+            return (
+                f"{self.dataset_name}\n"
+                f"The number of users: {self.user_num}\n"
+                f"Average actions of users: {n / max(n_u, 1):.4f}\n"
+                f"The number of items: {self.item_num}\n"
+                f"Average actions of items: {n / max(n_i, 1):.4f}\n"
+                f"The number of inters: {n}\n"
+                f"The sparsity of the dataset: {sparsity:.6f}%"
+            )
+        except Exception:
+            return f"Dataset({self.dataset_name})"
+
     def get_user_feature(self) -> Dict[str, np.ndarray]:
         """Dense per-user feature arrays keyed by field (row i = user i)."""
         if self.user_feat is None:

@@ -21,7 +21,7 @@ def get_model_class(name: str):
                           "BERT4Rec", "Caser", "NextItNet", "DIN", "DIEN",
                           "HGN", "FOSSIL", "TransRec"):
                 import oovrec_tpu.models.sequential  # noqa: F401
-            elif name in ("CKE", "CFKG", "KGAT"):
+            elif name in ("CKE", "CFKG", "KGAT", "KGCN", "MKR"):
                 import oovrec_tpu.models.knowledge  # noqa: F401
         except ImportError:
             pass

@@ -1,5 +1,6 @@
 from oovrec_tpu.models.knowledge.cke import CKE
 from oovrec_tpu.models.knowledge.cfkg import CFKG
 from oovrec_tpu.models.knowledge.kgat import KGAT
+from oovrec_tpu.models.knowledge.more import KGCN, MKR
 
-__all__ = ["CKE", "CFKG", "KGAT"]
+__all__ = ["CKE", "CFKG", "KGAT", "KGCN", "MKR"]

@@ -18,7 +18,7 @@ CONTEXT = ["LR", "FM", "DeepFM", "WideDeep", "DCNV2", "xDeepFM",
            "DCN", "AutoInt", "FNN", "PNN", "AFM", "FwFM", "FFM"]
 SEQUENTIAL = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC", "Caser",
               "NextItNet", "DIN", "DIEN", "HGN", "FOSSIL", "TransRec"]
-KNOWLEDGE = ["CKE", "CFKG", "KGAT"]
+KNOWLEDGE = ["CKE", "CFKG", "KGAT", "KGCN", "MKR"]
 
 
 @pytest.mark.parametrize("model", GENERAL)
