@@ -162,6 +162,16 @@ def run(
     model_obj, variables, estate = build_model_and_state(
         config, ds, template_batch=template
     )
+    # startup cost report (`get_flops`, src/run_recbole.py:90 analog)
+    try:
+        from oovrec_tpu.utils.flops import count_params
+
+        logger.info(
+            f"model: {config['model']}  trainable params: "
+            f"{count_params(variables['params']):,}"
+        )
+    except Exception:
+        pass
     trainer = Trainer(config, model_obj, variables, estate)
 
     best_valid_score, best_valid_result = trainer.fit(
