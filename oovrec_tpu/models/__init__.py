@@ -15,11 +15,13 @@ def get_model_class(name: str):
             elif name in ("Pop", "ItemKNN", "Random", "NeuMF", "LightGCN",
                           "EASE", "MultiVAE", "MultiDAE", "CDAE", "DMF",
                           "SimpleX", "NGCF", "SGL", "FISM", "NAIS", "ENMF",
-                          "LINE", "ConvNCF", "SLIMElastic"):
+                          "LINE", "ConvNCF", "SLIMElastic", "RecVAE", "ADMMSLIM",
+                          "SpectralCF", "GCMC"):
                 import oovrec_tpu.models.general  # noqa: F401
             elif name in ("GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC",
                           "BERT4Rec", "Caser", "NextItNet", "DIN", "DIEN",
-                          "HGN", "FOSSIL", "TransRec"):
+                          "HGN", "FOSSIL", "TransRec", "SHAN", "NPE", "HRM",
+                          "CORE"):
                 import oovrec_tpu.models.sequential  # noqa: F401
             elif name in ("CKE", "CFKG", "KGAT", "KGCN", "MKR"):
                 import oovrec_tpu.models.knowledge  # noqa: F401

@@ -7,9 +7,13 @@ from oovrec_tpu.models.general.more2 import CDAE, DMF, MultiDAE, NGCF, SGL, Simp
 from oovrec_tpu.models.general.more3 import (
     ConvNCF, ENMF, FISM, LINE, NAIS, SLIMElastic,
 )
+from oovrec_tpu.models.general.more4 import (
+    ADMMSLIM, GCMC, RecVAE, SpectralCF,
+)
 
 __all__ = [
     "Pop", "Random", "ItemKNN", "NeuMF", "LightGCN", "EASE", "MultiVAE",
     "MultiDAE", "CDAE", "DMF", "SimpleX", "NGCF", "SGL",
     "FISM", "NAIS", "ENMF", "LINE", "ConvNCF", "SLIMElastic",
+    "RecVAE", "ADMMSLIM", "SpectralCF", "GCMC",
 ]

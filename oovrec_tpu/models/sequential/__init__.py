@@ -5,6 +5,7 @@ from oovrec_tpu.models.sequential.bert4rec import BERT4Rec
 from oovrec_tpu.models.sequential.convs import Caser, NextItNet
 from oovrec_tpu.models.sequential.din import DIEN, DIN
 from oovrec_tpu.models.sequential.more2 import FOSSIL, HGN, TransRec
+from oovrec_tpu.models.sequential.more3 import CORE, HRM, NPE, SHAN
 
 __all__ = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC", "BERT4Rec",
-           "Caser", "NextItNet", "DIN", "DIEN", "HGN", "FOSSIL", "TransRec"]
+           "Caser", "NextItNet", "DIN", "DIEN", "HGN", "FOSSIL", "TransRec", "SHAN", "NPE", "HRM", "CORE"]

@@ -13,11 +13,13 @@ from tests.test_knowledge import _cfg as kg_cfg
 GENERAL = ["BPR", "DirectAU", "Pop", "Random", "ItemKNN", "NeuMF",
            "LightGCN", "EASE", "MultiVAE", "MultiDAE", "CDAE", "DMF",
            "SimpleX", "NGCF", "SGL", "FISM", "NAIS", "ENMF", "LINE",
-           "ConvNCF", "SLIMElastic"]
+           "ConvNCF", "SLIMElastic", "RecVAE", "ADMMSLIM", "SpectralCF",
+           "GCMC"]
 CONTEXT = ["LR", "FM", "DeepFM", "WideDeep", "DCNV2", "xDeepFM",
            "DCN", "AutoInt", "FNN", "PNN", "AFM", "FwFM", "FFM"]
 SEQUENTIAL = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC", "Caser",
-              "NextItNet", "DIN", "DIEN", "HGN", "FOSSIL", "TransRec"]
+              "NextItNet", "DIN", "DIEN", "HGN", "FOSSIL", "TransRec",
+              "SHAN", "NPE", "HRM", "CORE"]
 KNOWLEDGE = ["CKE", "CFKG", "KGAT", "KGCN", "MKR"]
 
 
@@ -38,6 +40,14 @@ def test_general(model):
         over = {"weight_size": 8}
     if model == "ConvNCF":
         over = {"embedding_size": 8, "cnn_channels": [8, 8]}
+    if model == "RecVAE":
+        over = {"hidden_dim": 16, "latent_dim": 8}
+    if model == "ADMMSLIM":
+        over = {"admm_iter": 5}
+    if model == "SpectralCF":
+        over = {"n_layers": 2}
+    if model == "GCMC":
+        over = {"gcn_output_dim": 8}
     res = objective_function(config_dict=gen_cfg(model, epochs=1, **over),
                              saved=False)
     assert "recall@5" in res["test_result"]
