@@ -10,7 +10,8 @@ def get_model_class(name: str):
     if name not in MODEL_REGISTRY:
         try:
             if name in ("WideDeep", "DCNV2", "xDeepFM", "LR", "FM", "DeepFM",
-                        "DCN", "AutoInt", "FNN", "PNN", "AFM", "FwFM", "FFM"):
+                        "DCN", "AutoInt", "FNN", "PNN", "AFM", "FwFM", "FFM",
+                        "DSSM", "FiGNN", "EulerNet"):
                 import oovrec_tpu.models.context_aware  # noqa: F401
             elif name in ("Pop", "ItemKNN", "Random", "NeuMF", "LightGCN",
                           "EASE", "MultiVAE", "MultiDAE", "CDAE", "DMF",
@@ -23,7 +24,8 @@ def get_model_class(name: str):
                           "HGN", "FOSSIL", "TransRec", "SHAN", "NPE", "HRM",
                           "CORE"):
                 import oovrec_tpu.models.sequential  # noqa: F401
-            elif name in ("CKE", "CFKG", "KGAT", "KGCN", "MKR"):
+            elif name in ("CKE", "CFKG", "KGAT", "KGCN", "MKR", "KTUP",
+                          "KGNNLS", "RippleNet"):
                 import oovrec_tpu.models.knowledge  # noqa: F401
         except ImportError:
             pass

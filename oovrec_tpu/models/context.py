@@ -53,6 +53,10 @@ class FieldSpec:
     token_seq_dims: Tuple[int, ...] = ()
     float_seq_names: Tuple[str, ...] = ()
     float_seq_dims: Tuple[int, ...] = ()
+    # indices (into token_names) of user-side vs item-side fields — used by
+    # double-tower models (the reference's FeatureSource split)
+    user_token_idx: Tuple[int, ...] = (0,)
+    item_token_idx: Tuple[int, ...] = (1,)
 
     @property
     def num_feature_field(self) -> int:
@@ -108,9 +112,23 @@ def field_spec_from_dataset(dataset, config) -> FieldSpec:
         elif t == FeatureType.FLOAT_SEQ and f in numerical:
             qn.append(f)
             qd.append(dataset.num(f))
+    from oovrec_tpu.utils.enums import FeatureSource as FS
+
+    uidx, iidx = [], []
+    for i, f in enumerate(tn):
+        src = dataset.field2source.get(f)
+        if src in (FS.USER, FS.USER_ID):
+            uidx.append(i)
+        elif src in (FS.ITEM, FS.ITEM_ID):
+            iidx.append(i)
+    if not uidx:
+        uidx = [0]
+    if not iidx:
+        iidx = [1] if len(tn) > 1 else [0]
     return FieldSpec(
         tuple(tn), tuple(td), tuple(fn), tuple(fd),
         tuple(sn), tuple(sd), tuple(qn), tuple(qd),
+        tuple(uidx), tuple(iidx),
     )
 
 

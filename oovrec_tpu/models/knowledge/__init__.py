@@ -2,5 +2,6 @@ from oovrec_tpu.models.knowledge.cke import CKE
 from oovrec_tpu.models.knowledge.cfkg import CFKG
 from oovrec_tpu.models.knowledge.kgat import KGAT
 from oovrec_tpu.models.knowledge.more import KGCN, MKR
+from oovrec_tpu.models.knowledge.more2 import KGNNLS, KTUP, RippleNet
 
-__all__ = ["CKE", "CFKG", "KGAT", "KGCN", "MKR"]
+__all__ = ["CKE", "CFKG", "KGAT", "KGCN", "MKR", "KTUP", "KGNNLS", "RippleNet"]

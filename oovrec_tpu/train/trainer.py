@@ -182,6 +182,9 @@ class Trainer:
         """One pass over the loader. `oov_transform` applies the OOV
         simulation to each kept batch; `keep_ratio` is the Bernoulli batch
         keep probability of the OOV sub-epoch (`trainer.py:1796`)."""
+        from oovrec_tpu.data.prefetch import maybe_prefetch
+
+        train_loader = maybe_prefetch(train_loader, self.config)
         step = self._get_step(frozen)
         params = self.variables["params"]
         extra_vars = {k: v for k, v in self.variables.items() if k != "params"}

@@ -16,11 +16,13 @@ GENERAL = ["BPR", "DirectAU", "Pop", "Random", "ItemKNN", "NeuMF",
            "ConvNCF", "SLIMElastic", "RecVAE", "ADMMSLIM", "SpectralCF",
            "GCMC"]
 CONTEXT = ["LR", "FM", "DeepFM", "WideDeep", "DCNV2", "xDeepFM",
-           "DCN", "AutoInt", "FNN", "PNN", "AFM", "FwFM", "FFM"]
+           "DCN", "AutoInt", "FNN", "PNN", "AFM", "FwFM", "FFM",
+           "DSSM", "FiGNN", "EulerNet"]
 SEQUENTIAL = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC", "Caser",
               "NextItNet", "DIN", "DIEN", "HGN", "FOSSIL", "TransRec",
               "SHAN", "NPE", "HRM", "CORE"]
-KNOWLEDGE = ["CKE", "CFKG", "KGAT", "KGCN", "MKR"]
+KNOWLEDGE = ["CKE", "CFKG", "KGAT", "KGCN", "MKR", "KTUP", "KGNNLS",
+             "RippleNet"]
 
 
 @pytest.mark.parametrize("model", GENERAL)
@@ -59,6 +61,10 @@ def test_context(model):
             "reg_weight": 0.01}
     if model == "FFM":
         over["embedding_size"] = 4
+    if model == "DSSM":
+        over["mlp_hidden_size"] = [16, 8]
+    if model == "FiGNN":
+        over["attention_size"] = 8
     res = objective_function(
         config_dict=_strip(_ranking_cfg(model, epochs=1, **over)),
         saved=False,
@@ -88,6 +94,8 @@ def test_sequential(model):
 @pytest.mark.parametrize("model", KNOWLEDGE)
 def test_knowledge(model):
     over = {"layers": [8]} if model == "KGAT" else {}
+    if model == "RippleNet":
+        over = {"n_memory": 4}
     res = objective_function(config_dict=kg_cfg(model, epochs=1, **over),
                              saved=False)
     assert "recall@5" in res["test_result"]
