@@ -17,7 +17,8 @@ def get_model_class(name: str):
                           "EASE", "MultiVAE", "MultiDAE", "CDAE", "DMF",
                           "SimpleX", "NGCF", "SGL", "FISM", "NAIS", "ENMF",
                           "LINE", "ConvNCF", "SLIMElastic", "RecVAE", "ADMMSLIM",
-                          "SpectralCF", "GCMC"):
+                          "SpectralCF", "GCMC", "NCEPLRec", "NNCF", "DGCF",
+                          "NCL", "MacridVAE"):
                 import oovrec_tpu.models.general  # noqa: F401
             elif name in ("GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC",
                           "BERT4Rec", "Caser", "NextItNet", "DIN", "DIEN",

@@ -10,10 +10,14 @@ from oovrec_tpu.models.general.more3 import (
 from oovrec_tpu.models.general.more4 import (
     ADMMSLIM, GCMC, RecVAE, SpectralCF,
 )
+from oovrec_tpu.models.general.more5 import (
+    DGCF, MacridVAE, NCEPLRec, NCL, NNCF,
+)
 
 __all__ = [
     "Pop", "Random", "ItemKNN", "NeuMF", "LightGCN", "EASE", "MultiVAE",
     "MultiDAE", "CDAE", "DMF", "SimpleX", "NGCF", "SGL",
     "FISM", "NAIS", "ENMF", "LINE", "ConvNCF", "SLIMElastic",
     "RecVAE", "ADMMSLIM", "SpectralCF", "GCMC",
+    "NCEPLRec", "NNCF", "DGCF", "NCL", "MacridVAE",
 ]

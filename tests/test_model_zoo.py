@@ -14,7 +14,7 @@ GENERAL = ["BPR", "DirectAU", "Pop", "Random", "ItemKNN", "NeuMF",
            "LightGCN", "EASE", "MultiVAE", "MultiDAE", "CDAE", "DMF",
            "SimpleX", "NGCF", "SGL", "FISM", "NAIS", "ENMF", "LINE",
            "ConvNCF", "SLIMElastic", "RecVAE", "ADMMSLIM", "SpectralCF",
-           "GCMC"]
+           "GCMC", "NCEPLRec", "NNCF", "DGCF", "NCL", "MacridVAE"]
 CONTEXT = ["LR", "FM", "DeepFM", "WideDeep", "DCNV2", "xDeepFM",
            "DCN", "AutoInt", "FNN", "PNN", "AFM", "FwFM", "FFM",
            "DSSM", "FiGNN", "EulerNet"]
@@ -50,6 +50,16 @@ def test_general(model):
         over = {"n_layers": 2}
     if model == "GCMC":
         over = {"gcn_output_dim": 8}
+    if model == "NCEPLRec":
+        over = {"rank": 4}
+    if model == "NNCF":
+        over = {"neigh_num": 4, "mlp_hidden_size": [16]}
+    if model == "DGCF":
+        over = {"n_factors": 2}
+    if model == "NCL":
+        over = {"num_clusters": 4}
+    if model == "MacridVAE":
+        over = {"kfac": 2, "latent_dim": 8, "encoder_hidden": [16]}
     res = objective_function(config_dict=gen_cfg(model, epochs=1, **over),
                              saved=False)
     assert "recall@5" in res["test_result"]
