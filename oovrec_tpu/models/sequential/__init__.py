@@ -6,6 +6,8 @@ from oovrec_tpu.models.sequential.convs import Caser, NextItNet
 from oovrec_tpu.models.sequential.din import DIEN, DIN
 from oovrec_tpu.models.sequential.more2 import FOSSIL, HGN, TransRec
 from oovrec_tpu.models.sequential.more3 import CORE, HRM, NPE, SHAN
+from oovrec_tpu.models.sequential.more4 import GCSAN, SINE, SRGNN, LightSANs
 
 __all__ = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC", "BERT4Rec",
-           "Caser", "NextItNet", "DIN", "DIEN", "HGN", "FOSSIL", "TransRec", "SHAN", "NPE", "HRM", "CORE"]
+           "Caser", "NextItNet", "DIN", "DIEN", "HGN", "FOSSIL", "TransRec", "SHAN", "NPE", "HRM", "CORE",
+           "SRGNN", "GCSAN", "LightSANs", "SINE"]

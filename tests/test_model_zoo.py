@@ -20,7 +20,8 @@ CONTEXT = ["LR", "FM", "DeepFM", "WideDeep", "DCNV2", "xDeepFM",
            "DSSM", "FiGNN", "EulerNet"]
 SEQUENTIAL = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC", "Caser",
               "NextItNet", "DIN", "DIEN", "HGN", "FOSSIL", "TransRec",
-              "SHAN", "NPE", "HRM", "CORE"]
+              "SHAN", "NPE", "HRM", "CORE", "SRGNN", "GCSAN", "LightSANs",
+              "SINE"]
 KNOWLEDGE = ["CKE", "CFKG", "KGAT", "KGCN", "MKR", "KTUP", "KGNNLS",
              "RippleNet"]
 
@@ -97,6 +98,10 @@ def test_sequential(model):
         cfg.update(mlp_hidden_size=[16], att_hidden=[8])
     if model == "Caser":
         cfg.update(n_h=4, n_v=2)
+    if model == "LightSANs":
+        cfg.update(k_interests=3)
+    if model == "SINE":
+        cfg.update(prototype_size=4)
     res = objective_function(config_dict=cfg, saved=False)
     assert "recall@5" in res["test_result"]
 
