@@ -11,14 +11,14 @@ def get_model_class(name: str):
         try:
             if name in ("WideDeep", "DCNV2", "xDeepFM", "LR", "FM", "DeepFM",
                         "DCN", "AutoInt", "FNN", "PNN", "AFM", "FwFM", "FFM",
-                        "DSSM", "FiGNN", "EulerNet"):
+                        "DSSM", "FiGNN", "EulerNet", "NFM", "KD_DAGFM"):
                 import oovrec_tpu.models.context_aware  # noqa: F401
             elif name in ("Pop", "ItemKNN", "Random", "NeuMF", "LightGCN",
                           "EASE", "MultiVAE", "MultiDAE", "CDAE", "DMF",
                           "SimpleX", "NGCF", "SGL", "FISM", "NAIS", "ENMF",
                           "LINE", "ConvNCF", "SLIMElastic", "RecVAE", "ADMMSLIM",
                           "SpectralCF", "GCMC", "NCEPLRec", "NNCF", "DGCF",
-                          "NCL", "MacridVAE"):
+                          "NCL", "MacridVAE", "RaCT"):
                 import oovrec_tpu.models.general  # noqa: F401
             elif name in ("GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC",
                           "BERT4Rec", "Caser", "NextItNet", "DIN", "DIEN",

@@ -14,10 +14,12 @@ from oovrec_tpu.models.general.more5 import (
     DGCF, MacridVAE, NCEPLRec, NCL, NNCF,
 )
 
+from oovrec_tpu.models.general.ract import RaCT
+
 __all__ = [
     "Pop", "Random", "ItemKNN", "NeuMF", "LightGCN", "EASE", "MultiVAE",
     "MultiDAE", "CDAE", "DMF", "SimpleX", "NGCF", "SGL",
     "FISM", "NAIS", "ENMF", "LINE", "ConvNCF", "SLIMElastic",
     "RecVAE", "ADMMSLIM", "SpectralCF", "GCMC",
-    "NCEPLRec", "NNCF", "DGCF", "NCL", "MacridVAE",
+    "NCEPLRec", "NNCF", "DGCF", "NCL", "MacridVAE", "RaCT",
 ]

@@ -14,10 +14,10 @@ GENERAL = ["BPR", "DirectAU", "Pop", "Random", "ItemKNN", "NeuMF",
            "LightGCN", "EASE", "MultiVAE", "MultiDAE", "CDAE", "DMF",
            "SimpleX", "NGCF", "SGL", "FISM", "NAIS", "ENMF", "LINE",
            "ConvNCF", "SLIMElastic", "RecVAE", "ADMMSLIM", "SpectralCF",
-           "GCMC", "NCEPLRec", "NNCF", "DGCF", "NCL", "MacridVAE"]
+           "GCMC", "NCEPLRec", "NNCF", "DGCF", "NCL", "MacridVAE", "RaCT"]
 CONTEXT = ["LR", "FM", "DeepFM", "WideDeep", "DCNV2", "xDeepFM",
            "DCN", "AutoInt", "FNN", "PNN", "AFM", "FwFM", "FFM",
-           "DSSM", "FiGNN", "EulerNet"]
+           "DSSM", "FiGNN", "EulerNet", "NFM", "KD_DAGFM"]
 SEQUENTIAL = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC", "Caser",
               "NextItNet", "DIN", "DIEN", "HGN", "FOSSIL", "TransRec",
               "SHAN", "NPE", "HRM", "CORE", "SRGNN", "GCSAN", "LightSANs",
@@ -61,6 +61,9 @@ def test_general(model):
         over = {"num_clusters": 4}
     if model == "MacridVAE":
         over = {"kfac": 2, "latent_dim": 8, "encoder_hidden": [16]}
+    if model == "RaCT":
+        over = {"latent_dim": 8, "encoder_hidden": [16],
+                "critic_layers": [8], "metrics_k": 5}
     res = objective_function(config_dict=gen_cfg(model, epochs=1, **over),
                              saved=False)
     assert "recall@5" in res["test_result"]
@@ -76,6 +79,10 @@ def test_context(model):
         over["mlp_hidden_size"] = [16, 8]
     if model == "FiGNN":
         over["attention_size"] = 8
+    if model == "NFM":
+        over["mlp_hidden_size"] = [16, 8]
+    if model == "KD_DAGFM":
+        over.update(depth=2, phase="distillation")
     res = objective_function(
         config_dict=_strip(_ranking_cfg(model, epochs=1, **over)),
         saved=False,
