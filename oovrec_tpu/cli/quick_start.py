@@ -98,6 +98,10 @@ def build_model_and_state(config, dataset, mode: str = "transductive",
         elif f.type in ("bool", bool) and isinstance(v, str):
             v = v.lower() in ("true", "1", "yes")
         kwargs[f.name] = v
+    if hasattr(cls, "derive_kwargs"):
+        # dataset-dependent static fields (e.g. packed feature vocab sizes
+        # for GRU4RecF/SASRecF/FDSA)
+        kwargs.update(cls.derive_kwargs(dataset, config))
     model = cls(**kwargs)
 
     estate = {}
@@ -113,7 +117,12 @@ def build_model_and_state(config, dataset, mode: str = "transductive",
     # dataset-derived model state (Pop counts, ItemKNN similarity,
     # LightGCN edges, ...) must exist before init traces the loss
     if hasattr(cls, "build_estate"):
-        estate.update(cls.build_estate(dataset.build()[0]))
+        import inspect
+
+        if "config" in inspect.signature(cls.build_estate).parameters:
+            estate.update(cls.build_estate(dataset.build()[0], config=config))
+        else:
+            estate.update(cls.build_estate(dataset.build()[0]))
 
     if template_batch is None:
         template_batch = {

@@ -23,7 +23,8 @@ def get_model_class(name: str):
             elif name in ("GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC",
                           "BERT4Rec", "Caser", "NextItNet", "DIN", "DIEN",
                           "HGN", "FOSSIL", "TransRec", "SHAN", "NPE", "HRM",
-                          "CORE", "SRGNN", "GCSAN", "LightSANs", "SINE"):
+                          "CORE", "SRGNN", "GCSAN", "LightSANs", "SINE",
+                          "GRU4RecF", "SASRecF", "FDSA"):
                 import oovrec_tpu.models.sequential  # noqa: F401
             elif name in ("CKE", "CFKG", "KGAT", "KGCN", "MKR", "KTUP",
                           "KGNNLS", "RippleNet"):

@@ -7,7 +7,8 @@ from oovrec_tpu.models.sequential.din import DIEN, DIN
 from oovrec_tpu.models.sequential.more2 import FOSSIL, HGN, TransRec
 from oovrec_tpu.models.sequential.more3 import CORE, HRM, NPE, SHAN
 from oovrec_tpu.models.sequential.more4 import GCSAN, SINE, SRGNN, LightSANs
+from oovrec_tpu.models.sequential.featseq import FDSA, GRU4RecF, SASRecF
 
 __all__ = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC", "BERT4Rec",
            "Caser", "NextItNet", "DIN", "DIEN", "HGN", "FOSSIL", "TransRec", "SHAN", "NPE", "HRM", "CORE",
-           "SRGNN", "GCSAN", "LightSANs", "SINE"]
+           "SRGNN", "GCSAN", "LightSANs", "SINE", "GRU4RecF", "SASRecF", "FDSA"]

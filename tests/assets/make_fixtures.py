@@ -30,6 +30,15 @@ for u,i,r,t in rows:
     inter.append(f"{u}\t{i}\t{r}\t{t}")
 w(f"{HERE}/toy/toy.inter", inter)
 
+# item side file (only loaded when load_col includes 'item'): category token
+# + a token_seq tags column for the feature-fused sequential models
+item = ["item_id:token\tcategory:token\ttags:token_seq"]
+for idx in range(1, 9):
+    cat = ["a", "b", "c"][idx % 3]
+    tags = " ".join(f"t{j}" for j in range(1, (idx % 3) + 2))
+    item.append(f"i{idx}\t{cat}\t{tags}")
+w(f"{HERE}/toy/toy.item", item)
+
 # ---------------- toy-ind (train corpus with is_new + features) ----------------
 inter = ["user_id:token\titem_id:token\trating:float\ttimestamp:float\tis_new:token"]
 for u,i,r,t in rows:

@@ -21,7 +21,7 @@ CONTEXT = ["LR", "FM", "DeepFM", "WideDeep", "DCNV2", "xDeepFM",
 SEQUENTIAL = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC", "Caser",
               "NextItNet", "DIN", "DIEN", "HGN", "FOSSIL", "TransRec",
               "SHAN", "NPE", "HRM", "CORE", "SRGNN", "GCSAN", "LightSANs",
-              "SINE"]
+              "SINE", "GRU4RecF", "SASRecF", "FDSA"]
 KNOWLEDGE = ["CKE", "CFKG", "KGAT", "KGCN", "MKR", "KTUP", "KGNNLS",
              "RippleNet"]
 
@@ -109,6 +109,12 @@ def test_sequential(model):
         cfg.update(k_interests=3)
     if model == "SINE":
         cfg.update(prototype_size=4)
+    if model in ("GRU4RecF", "SASRecF", "FDSA"):
+        cfg["load_col"] = {
+            "inter": ["user_id", "item_id", "rating", "timestamp"],
+            "item": ["item_id", "category", "tags"],
+        }
+        cfg["selected_features"] = ["category", "tags"]
     res = objective_function(config_dict=cfg, saved=False)
     assert "recall@5" in res["test_result"]
 
