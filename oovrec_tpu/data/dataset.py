@@ -167,6 +167,16 @@ class Dataset:
                 )
                 setattr(self, f"{suffix}_feat", df)
 
+        # additional side tables (`additional_feat_suffix`, reference
+        # `dataset.py` _load_additional_feat): kept raw for
+        # `get_preload_weight` — not remapped with the main tables.
+        self.additional_feats: Dict[str, pd.DataFrame] = {}
+        for suffix in self.config["additional_feat_suffix"] or []:
+            fp = os.path.join(path, f"{token}.{suffix}")
+            if os.path.isfile(fp):
+                df, _ = load_atomic_file(fp, sep, seq_sep, None, set())
+                self.additional_feats[suffix] = df
+
         if self.uid_field and self.uid_field not in self.field2type:
             self.field2type[self.uid_field] = FeatureType.TOKEN
         if self.iid_field and self.iid_field not in self.field2type:
@@ -480,6 +490,42 @@ class Dataset:
     @property
     def item_num(self) -> int:
         return len(self.field2id_token[self.iid_field])
+
+    def get_preload_weight(self, kid: str) -> np.ndarray:
+        """Pretrained weight matrix keyed by `preload_weight: {kid: value}`
+        (reference `dataset.py` get_preload_weight). Rows are aligned to an
+        existing id vocabulary when the kid tokens match one (entity or
+        item ids); otherwise rows follow file order with row 0 = pad."""
+        pw = self.config["preload_weight"] or {}
+        if kid not in pw:
+            raise ValueError(f"Field [{kid}] not in preload_weight config.")
+        vfield = pw[kid]
+        df = None
+        for d in self.additional_feats.values():
+            if kid in d.columns and vfield in d.columns:
+                df = d
+                break
+        if df is None:
+            raise ValueError(
+                f"No additional feat file holds [{kid}] and [{vfield}]."
+            )
+        tokens = df[kid].astype(str).to_numpy()
+        vecs = np.stack([np.asarray(v, np.float32) for v in df[vfield]])
+        # align with an existing vocab whose tokens cover this file
+        for vocab_field in (getattr(self, "entity_field", None),
+                            self.iid_field, self.uid_field):
+            if vocab_field and vocab_field in self.field2token_id:
+                t2i = self.field2token_id[vocab_field]
+                if sum(t in t2i for t in tokens) >= 0.5 * len(tokens):
+                    out = np.zeros((len(self.field2id_token[vocab_field]),
+                                    vecs.shape[1]), np.float32)
+                    for t, v in zip(tokens, vecs):
+                        if t in t2i:
+                            out[t2i[t]] = v
+                    return out
+        out = np.zeros((len(tokens) + 1, vecs.shape[1]), np.float32)
+        out[1:] = vecs
+        return out
 
     def num(self, field: str) -> int:
         ftype = self.field2type.get(field)

@@ -24,7 +24,8 @@ def get_model_class(name: str):
                           "BERT4Rec", "Caser", "NextItNet", "DIN", "DIEN",
                           "HGN", "FOSSIL", "TransRec", "SHAN", "NPE", "HRM",
                           "CORE", "SRGNN", "GCSAN", "LightSANs", "SINE",
-                          "GRU4RecF", "SASRecF", "FDSA"):
+                          "GRU4RecF", "SASRecF", "FDSA",
+                          "RepeatNet", "GRU4RecKG", "KSR"):
                 import oovrec_tpu.models.sequential  # noqa: F401
             elif name in ("CKE", "CFKG", "KGAT", "KGCN", "MKR", "KTUP",
                           "KGNNLS", "RippleNet"):

@@ -39,6 +39,14 @@ for idx in range(1, 9):
     item.append(f"i{idx}\t{cat}\t{tags}")
 w(f"{HERE}/toy/toy.item", item)
 
+# preload-weight side table (additional_feat_suffix: [ent]): pretrained
+# 8-dim entity vectors keyed by item token, for GRU4RecKG / KSR
+ent = ["ent_id:token\tent_vec:float_seq"]
+for idx in range(1, 9):
+    vec = " ".join(f"{0.1 * idx + 0.01 * j:.3f}" for j in range(8))
+    ent.append(f"i{idx}\t{vec}")
+w(f"{HERE}/toy/toy.ent", ent)
+
 # ---------------- toy-ind (train corpus with is_new + features) ----------------
 inter = ["user_id:token\titem_id:token\trating:float\ttimestamp:float\tis_new:token"]
 for u,i,r,t in rows:

@@ -188,3 +188,25 @@ def test_used_ids_per_user():
     u1 = ds.field2token_id["user_id"]["u1"]
     # u1 has 4 inters; RS [0.8,0.1,0.1] with reference rounding → 2/1/1
     assert len(used[u1]) == 2
+
+
+def test_get_preload_weight():
+    """additional_feat_suffix + preload_weight (reference dataset.py
+    get_preload_weight): vectors aligned to the item vocabulary."""
+    from oovrec_tpu.config.configurator import Config
+    from oovrec_tpu.data.dataset import Dataset
+
+    c = Config(config_dict={
+        "model": "GRU4Rec", "dataset": "toy",
+        "data_path": os.path.join(os.path.dirname(__file__), "assets"),
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+        "additional_feat_suffix": ["ent"],
+        "preload_weight": {"ent_id": "ent_vec"},
+    })
+    ds = Dataset(c)
+    w = ds.get_preload_weight("ent_id")
+    assert w.shape == (ds.item_num, 8)
+    # pad row is zeros; real items carry their file vectors
+    assert np.all(w[0] == 0)
+    i3 = ds.field2token_id["item_id"]["i3"]
+    assert abs(w[i3, 0] - 0.3) < 1e-6

@@ -21,7 +21,8 @@ CONTEXT = ["LR", "FM", "DeepFM", "WideDeep", "DCNV2", "xDeepFM",
 SEQUENTIAL = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC", "Caser",
               "NextItNet", "DIN", "DIEN", "HGN", "FOSSIL", "TransRec",
               "SHAN", "NPE", "HRM", "CORE", "SRGNN", "GCSAN", "LightSANs",
-              "SINE", "GRU4RecF", "SASRecF", "FDSA"]
+              "SINE", "GRU4RecF", "SASRecF", "FDSA", "RepeatNet",
+              "GRU4RecKG", "KSR"]
 KNOWLEDGE = ["CKE", "CFKG", "KGAT", "KGCN", "MKR", "KTUP", "KGNNLS",
              "RippleNet"]
 
@@ -115,6 +116,11 @@ def test_sequential(model):
             "item": ["item_id", "category", "tags"],
         }
         cfg["selected_features"] = ["category", "tags"]
+    if model in ("GRU4RecKG", "KSR"):
+        cfg["additional_feat_suffix"] = ["ent"]
+        cfg["preload_weight"] = {"ent_id": "ent_vec"}
+    if model == "KSR":
+        cfg["n_relations"] = 3
     res = objective_function(config_dict=cfg, saved=False)
     assert "recall@5" in res["test_result"]
 
