@@ -25,7 +25,7 @@ def get_model_class(name: str):
                           "HGN", "FOSSIL", "TransRec", "SHAN", "NPE", "HRM",
                           "CORE", "SRGNN", "GCSAN", "LightSANs", "SINE",
                           "GRU4RecF", "SASRecF", "FDSA",
-                          "RepeatNet", "GRU4RecKG", "KSR"):
+                          "RepeatNet", "GRU4RecKG", "KSR", "S3Rec"):
                 import oovrec_tpu.models.sequential  # noqa: F401
             elif name in ("CKE", "CFKG", "KGAT", "KGCN", "MKR", "KTUP",
                           "KGNNLS", "RippleNet"):

@@ -9,7 +9,8 @@ from oovrec_tpu.models.sequential.more3 import CORE, HRM, NPE, SHAN
 from oovrec_tpu.models.sequential.more4 import GCSAN, SINE, SRGNN, LightSANs
 from oovrec_tpu.models.sequential.featseq import FDSA, GRU4RecF, SASRecF
 from oovrec_tpu.models.sequential.more5 import KSR, GRU4RecKG, RepeatNet
+from oovrec_tpu.models.sequential.s3rec import S3Rec
 
 __all__ = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC", "BERT4Rec",
            "Caser", "NextItNet", "DIN", "DIEN", "HGN", "FOSSIL", "TransRec", "SHAN", "NPE", "HRM", "CORE",
-           "SRGNN", "GCSAN", "LightSANs", "SINE", "GRU4RecF", "SASRecF", "FDSA", "RepeatNet", "GRU4RecKG", "KSR"]
+           "SRGNN", "GCSAN", "LightSANs", "SINE", "GRU4RecF", "SASRecF", "FDSA", "RepeatNet", "GRU4RecKG", "KSR", "S3Rec"]

@@ -22,7 +22,7 @@ SEQUENTIAL = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC", "Caser",
               "NextItNet", "DIN", "DIEN", "HGN", "FOSSIL", "TransRec",
               "SHAN", "NPE", "HRM", "CORE", "SRGNN", "GCSAN", "LightSANs",
               "SINE", "GRU4RecF", "SASRecF", "FDSA", "RepeatNet",
-              "GRU4RecKG", "KSR"]
+              "GRU4RecKG", "KSR", "S3Rec"]
 KNOWLEDGE = ["CKE", "CFKG", "KGAT", "KGCN", "MKR", "KTUP", "KGNNLS",
              "RippleNet"]
 
@@ -110,7 +110,7 @@ def test_sequential(model):
         cfg.update(k_interests=3)
     if model == "SINE":
         cfg.update(prototype_size=4)
-    if model in ("GRU4RecF", "SASRecF", "FDSA"):
+    if model in ("GRU4RecF", "SASRecF", "FDSA", "S3Rec"):
         cfg["load_col"] = {
             "inter": ["user_id", "item_id", "rating", "timestamp"],
             "item": ["item_id", "category", "tags"],
@@ -121,6 +121,8 @@ def test_sequential(model):
         cfg["preload_weight"] = {"ent_id": "ent_vec"}
     if model == "KSR":
         cfg["n_relations"] = 3
+    if model == "S3Rec":
+        cfg.update(train_stage="pretrain", inner_size=16)
     res = objective_function(config_dict=cfg, saved=False)
     assert "recall@5" in res["test_result"]
 
