@@ -28,7 +28,7 @@ def get_model_class(name: str):
                           "RepeatNet", "GRU4RecKG", "KSR", "S3Rec"):
                 import oovrec_tpu.models.sequential  # noqa: F401
             elif name in ("CKE", "CFKG", "KGAT", "KGCN", "MKR", "KTUP",
-                          "KGNNLS", "RippleNet"):
+                          "KGNNLS", "RippleNet", "KGIN", "MCCLK"):
                 import oovrec_tpu.models.knowledge  # noqa: F401
         except ImportError:
             pass

@@ -24,7 +24,7 @@ SEQUENTIAL = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC", "Caser",
               "SINE", "GRU4RecF", "SASRecF", "FDSA", "RepeatNet",
               "GRU4RecKG", "KSR", "S3Rec"]
 KNOWLEDGE = ["CKE", "CFKG", "KGAT", "KGCN", "MKR", "KTUP", "KGNNLS",
-             "RippleNet"]
+             "RippleNet", "KGIN", "MCCLK"]
 
 
 @pytest.mark.parametrize("model", GENERAL)
@@ -132,6 +132,10 @@ def test_knowledge(model):
     over = {"layers": [8]} if model == "KGAT" else {}
     if model == "RippleNet":
         over = {"n_memory": 4}
+    if model == "KGIN":
+        over = {"n_factors": 2, "context_hops": 1}
+    if model == "MCCLK":
+        over = {"knn_k": 3, "lightgcn_layer": 1}
     res = objective_function(config_dict=kg_cfg(model, epochs=1, **over),
                              saved=False)
     assert "recall@5" in res["test_result"]
