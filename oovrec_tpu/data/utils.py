@@ -67,6 +67,16 @@ def create_dataset(config, inductive: bool = False, removal_setting=None):
         if mt == ModelType.SEQUENTIAL:
             from oovrec_tpu.data.sequential import SequentialDataset
 
+            if config["model"] in ("GRU4RecKG", "KSR"):
+                # KG-enhanced sequential corpora (`kg_seq_dataset.py`);
+                # fall back to the plain sequential pipeline when no
+                # .kg/.link side files ship with the dataset
+                try:
+                    from oovrec_tpu.data.kg_seq_dataset import KGSeqDataset
+
+                    return KGSeqDataset(config)
+                except ValueError:
+                    pass
             return SequentialDataset(config)
         if mt == ModelType.KNOWLEDGE:
             from oovrec_tpu.data.kg_dataset import KnowledgeBasedDataset

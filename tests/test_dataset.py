@@ -210,3 +210,44 @@ def test_get_preload_weight():
     assert np.all(w[0] == 0)
     i3 = ds.field2token_id["item_id"]["i3"]
     assert abs(w[i3, 0] - 0.3) < 1e-6
+
+
+def test_kg_seq_dataset():
+    """KGSeqDataset (reference kg_seq_dataset.py): sequential augmentation
+    over an entity-aligned KG corpus."""
+    from oovrec_tpu.config.configurator import Config
+    from oovrec_tpu.data.kg_seq_dataset import KGSeqDataset
+
+    c = Config(config_dict={
+        "model": "KSR", "dataset": "toy-kg",
+        "data_path": os.path.join(os.path.dirname(__file__), "assets"),
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"],
+                     "kg": ["head_id", "relation_id", "tail_id"],
+                     "link": ["item_id", "entity_id"]},
+        "MAX_ITEM_LIST_LENGTH": 4,
+    })
+    ds = KGSeqDataset(c)
+    assert ds.entity_num >= ds.item_num           # kg side loaded
+    aug = ds.data_augmentation()                  # seq side active
+    assert "item_id_list" in aug
+    h, r, t = ds.kg_triples
+    assert len(h) == len(r) == len(t) > 0
+
+
+def test_decisiontree_tabularize():
+    from oovrec_tpu.config.configurator import Config
+    from oovrec_tpu.data.decisiontree import (
+        DecisionTreeDataset,
+        tabularize_split,
+    )
+
+    c = Config(config_dict={
+        "model": "BPR", "dataset": "toy",
+        "data_path": os.path.join(os.path.dirname(__file__), "assets"),
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+    })
+    ds = DecisionTreeDataset(c)
+    X, y, names = ds.tabularize()
+    assert X.shape == (21, 4) and "user_id" in names
+    X2, _, _ = tabularize_split(ds.build()[0])
+    assert X2.shape[1] == 4 and 0 < X2.shape[0] < 21
