@@ -52,6 +52,10 @@ class DIN(SequentialRecommender):
         )
         self.predict_layer = nn.Dense(1, kernel_init=xavier_normal)
 
+    def _behavior_repr(self, seq_e):
+        """Hook: DIEN replaces raw behavior embeddings with GRU states."""
+        return seq_e
+
     def _attention_pool(self, seq_e, target_e, mask):
         """DIN attention: MLP over [h, t, h−t, h⊙t] → weights (no softmax
         normalization in the original — masked weights applied directly)."""
@@ -93,7 +97,7 @@ class DIN(SequentialRecommender):
         lengths = batch[self.length_field]
         B, L = seq.shape
         mask = jnp.arange(L)[None, :] < lengths[:, None]
-        seq_e = self.item_embedding(seq)
+        seq_e = self._behavior_repr(self.item_embedding(seq))
         u = self.user_embedding(batch[self.uid_field])
 
         def score_block(targets):
@@ -116,7 +120,14 @@ class DIN(SequentialRecommender):
 
 @register_model
 class DIEN(DIN):
-    """DIEN: GRU interest extraction before the DIN attention pooling."""
+    """DIEN: GRU interest extraction before the DIN attention pooling,
+    with the interest extractor's auxiliary loss (`dien.py` /
+    `customized_dataset.py` DIENDataset): hidden state h_t must score the
+    next clicked item above a random negative. The reference samples the
+    negative sequence host-side (SeqSampler); here it is drawn on-device
+    from the dropout rng with a collision bump."""
+
+    alpha: float = 1.0  # auxiliary-loss weight (reference config 'alpha')
 
     def setup(self):
         super().setup()
@@ -128,6 +139,17 @@ class DIEN(DIN):
         )
         self.interest_gru = ScanGRU(features=self.embedding_size)
 
+    def _behavior_repr(self, seq_e):
+        return self._interest_states(seq_e)
+
+    def _interest_states(self, seq_e):
+        B = seq_e.shape[0]
+        carry = self.interest_gru.initialize_carry(
+            jax.random.key(0), (B, seq_e.shape[-1])
+        )
+        _, seq_h = self.interest_gru(carry, seq_e)
+        return seq_h
+
     def forward(self, batch, estate=None, train: bool = False):
         seq = batch[self.iid_field + self.list_suffix]
         lengths = batch[self.length_field]
@@ -135,13 +157,37 @@ class DIEN(DIN):
         B, L = seq.shape
         mask = jnp.arange(L)[None, :] < lengths[:, None]
         seq_e = self.item_embedding(seq)
-        carry = self.interest_gru.initialize_carry(
-            jax.random.key(0), (B, seq_e.shape[-1])
-        )
-        _, seq_h = self.interest_gru(carry, seq_e)
+        seq_h = self._behavior_repr(seq_e)
         target_e = self.item_embedding(target)
         interest = self._attention_pool(seq_h, target_e, mask)
         u = self.user_embedding(batch[self.uid_field])
         x = jnp.concatenate([interest, target_e, u], axis=-1)
         h = self.mlp_layers(x, train=train)
         return self.predict_layer(h).squeeze(-1)
+
+    def _aux_loss(self, batch):
+        """BCE(h_t · e(seq_{t+1})) vs BCE(h_t · e(neg_{t+1}))."""
+        seq = batch[self.iid_field + self.list_suffix]
+        lengths = batch[self.length_field]
+        B, L = seq.shape
+        seq_e = self.item_embedding(seq)
+        seq_h = self._interest_states(seq_e)
+        neg = jax.random.randint(self.make_rng("dropout"), seq.shape, 1,
+                                 self.n_items)
+        neg = jnp.where(neg == seq, neg % (self.n_items - 1) + 1, neg)
+        h = seq_h[:, :-1, :]
+        pos_s = jnp.sum(h * seq_e[:, 1:, :], axis=-1)
+        neg_s = jnp.sum(h * self.item_embedding(neg)[:, 1:, :], axis=-1)
+        # positions t where both t and t+1 are valid
+        valid = (jnp.arange(L - 1)[None, :] + 1 < lengths[:, None])
+        sp = nn.log_sigmoid(pos_s)
+        sn = nn.log_sigmoid(-neg_s)
+        per = -(sp + sn) * valid
+        return jnp.sum(per) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    def calculate_loss(self, batch, estate=None):
+        base = bce_with_logits(
+            self.forward(batch, estate, train=True),
+            batch[self.label_field], batch.get("weight"),
+        )
+        return base + self.alpha * self._aux_loss(batch)
