@@ -12,6 +12,7 @@ workload signature, so repeat runs don't pay the CPU cost again.
 from __future__ import annotations
 
 import json
+from functools import partial
 import os
 import subprocess
 import sys
@@ -68,7 +69,9 @@ def measure(platform: str | None = None, steps: int = STEPS) -> float:
     params = variables["params"]
     opt_state = tx.init(params)
 
-    @jax.jit
+    # donate params/opt_state: the updated tables reuse the input buffers
+    # (halves HBM traffic for the two big embedding tables + adam moments)
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, b):
         def loss_fn(p):
             return model.apply({"params": p}, b, {},

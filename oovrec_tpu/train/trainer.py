@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 import pickle
 import time
+from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
@@ -136,7 +137,14 @@ class Trainer:
                 self.variables["params"],
             )
 
-        @jax.jit
+        # donate params + opt_state so updated tables reuse the input
+        # buffers (halves HBM traffic on the embedding tables). Not safe
+        # under dynamic negative sampling: the loader's scorer callback
+        # reads self.variables["params"] concurrently with the step.
+        nsa = self.config["train_neg_sample_args"] or {}
+        donate = (0, 2) if not nsa.get("dynamic") else ()
+
+        @partial(jax.jit, donate_argnums=donate)
         def step(params, extra_vars, opt_state, batch, estate, rng):
             def loss_fn(p):
                 out, new_vars = model.apply(
@@ -340,8 +348,14 @@ class Trainer:
 
             oov_loss = None
             if self.train_oov and self.oov_only_epoch:
+                # true device copies — the donated train step reuses the
+                # live opt-state buffers, so aliases would be deleted
                 opt_snapshot = (
-                    jax.tree.map(lambda x: x, self.opt_state)
+                    jax.tree.map(
+                        lambda x: jnp.array(x, copy=True)
+                        if isinstance(x, jax.Array) else x,
+                        self.opt_state,
+                    )
                     if self.oov_freeze_embedding and self.oov_freeze_skip_optim
                     else None
                 )
