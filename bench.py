@@ -28,7 +28,7 @@ BATCH = 8192
 N_BUCKETS = 1024
 WARMUP = 3
 STEPS = 30
-SIG = f"bpr-{N_USERS}-{N_ITEMS}-{EMB}-{BATCH}-{N_BUCKETS}"
+SIG = f"bpr-{N_USERS}-{N_ITEMS}-{EMB}-{BATCH}-{N_BUCKETS}-donated"
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baselines.json")
 
