@@ -28,7 +28,7 @@ BATCH = 8192
 N_BUCKETS = 1024
 WARMUP = 3
 STEPS = 30
-SIG = f"bpr-{N_USERS}-{N_ITEMS}-{EMB}-{BATCH}-{N_BUCKETS}-donated"
+SIG = f"bpr-{N_USERS}-{N_ITEMS}-{EMB}-{BATCH}-{N_BUCKETS}-donated-bf16mu"
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baselines.json")
 
@@ -65,7 +65,7 @@ def measure(platform: str | None = None, steps: int = STEPS) -> float:
 
     variables = model.init(jax.random.key(0), batch, {},
                            method=model.calculate_loss)
-    tx = build_optimizer("adam", 1e-3)
+    tx = build_optimizer("adam", 1e-3, mu_dtype="bfloat16")
     params = variables["params"]
     opt_state = tx.init(params)
 

@@ -6,7 +6,7 @@ Equivalent of `recbole/trainer/trainer.py` `Trainer` (:103-685) and
   * one jitted, donated train step `(params, opt_state, batch) → (loss, ...)`
     compiled once thanks to static batch shapes;
   * a second step variant with OOV-frozen updates: non-OOV parameter
-    updates AND their optimizer-state advоткат are masked out — the exact
+    updates AND their optimizer-state advance are masked out — the exact
     semantics of torch's `requires_grad=False` + untouched `None`-grad
     optimizer slots (`bpr.py:86-92`, `trainer.py:1559-1568`);
   * the OOV-simulation sub-epoch: Bernoulli batch keep (`trainer.py:1796`),
@@ -67,7 +67,10 @@ class Trainer:
         self.clip = clip_by_norm(config["clip_grad_norm"])
 
         self.tx = self._wrap_clip(
-            build_optimizer(self.learner, self.learning_rate, self.weight_decay)
+            build_optimizer(
+                self.learner, self.learning_rate, self.weight_decay,
+                mu_dtype=self.config["optimizer_mu_dtype"],
+            )
         )
         self.opt_state = self.tx.init(self.variables["params"])
 
