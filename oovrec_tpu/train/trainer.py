@@ -529,3 +529,13 @@ def _select_opt_state(mask, old_state, new_state, params=None):
         return new_leaf
 
     return jax.tree_util.tree_map_with_path(sel, new_state, old_state)
+
+
+def get_trainer(model_type=None, model_name: str = "") -> type:
+    """Trainer dispatch (`recbole/utils/utils.py:88-112` get_trainer
+    analog). The reference selects one of ~10 Trainer subclasses by model
+    name; here specialty behaviors live in model fields (S3Rec
+    `train_stage`, RaCT stages, KD_DAGFM `phase`, KG joint batches via
+    KGTrainBatcher, traditional short-circuit), so every model trains
+    under the one functional Trainer."""
+    return Trainer

@@ -67,3 +67,54 @@ def get_environment() -> Dict[str, Any]:
     except RuntimeError:
         info["devices"] = []
     return info
+
+
+def get_device_usage() -> str:
+    """Accelerator memory report (`utils.py:237` get_gpu_usage analog):
+    per-device live/peak bytes from the jax memory stats API."""
+    parts = []
+    try:
+        for d in jax.devices():
+            stats = getattr(d, "memory_stats", lambda: None)()
+            if stats:
+                used = stats.get("bytes_in_use", 0) / 2**30
+                peak = stats.get("peak_bytes_in_use", 0) / 2**30
+                lim = stats.get("bytes_limit", 0) / 2**30
+                parts.append(f"{d}: {used:.2f}/{lim:.2f} GB (peak {peak:.2f})")
+            else:
+                parts.append(f"{d}: n/a")
+    except RuntimeError:
+        pass
+    return "; ".join(parts) or "no devices"
+
+
+def list_to_latex(convert_list, bigger_flag: bool = True,
+                  subset_columns=None):
+    """Results table → LaTeX (`utils.py:382` list_to_latex analog): rows of
+    {'model':…, metric:value} dicts; best value per column bolded."""
+    if not convert_list:
+        return "", None
+    subset_columns = subset_columns or [
+        k for k in convert_list[0] if k != "model"
+    ]
+    import numpy as _np
+
+    cols = ["model"] + list(subset_columns)
+    best = {}
+    for c in subset_columns:
+        vals = [row.get(c) for row in convert_list if row.get(c) is not None]
+        if vals:
+            best[c] = max(vals) if bigger_flag else min(vals)
+    lines = ["\\begin{tabular}{" + "c" * len(cols) + "}", "\\toprule",
+             " & ".join(cols) + " \\\\", "\\midrule"]
+    for row in convert_list:
+        cells = [str(row.get("model", ""))]
+        for c in subset_columns:
+            v = row.get(c)
+            s = "" if v is None else f"{v:.4f}"
+            if v is not None and v == best.get(c):
+                s = "\\textbf{" + s + "}"
+            cells.append(s)
+        lines.append(" & ".join(cells) + " \\\\")
+    lines += ["\\bottomrule", "\\end{tabular}"]
+    return "\n".join(lines), cols
