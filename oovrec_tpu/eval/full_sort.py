@@ -9,7 +9,6 @@ Only the small (U, maxk) hit matrices travel back to the host.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

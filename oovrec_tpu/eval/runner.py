@@ -9,7 +9,6 @@ both eval protocols:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional
 
 import jax

@@ -16,7 +16,6 @@ the IV PAD id 0 (`0 < n_users`), which is exactly raw id 0 with no flag.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 

@@ -7,7 +7,6 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from oovrec_tpu.models.base import Batch, register_model
 from oovrec_tpu.models.context import ContextRecommender

@@ -5,8 +5,6 @@ References: `knowledge_aware_recommender/kgin.py`, `mcclk.py`.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

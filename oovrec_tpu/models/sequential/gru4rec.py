@@ -7,7 +7,6 @@ MAX_ITEM_LIST_LENGTH axis — one compiled scan, no per-step dispatch."""
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from oovrec_tpu.models.base import register_model
 from oovrec_tpu.models.init import xavier_normal

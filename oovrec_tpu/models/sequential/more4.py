@@ -6,8 +6,6 @@ References: `sequential_recommender/srgnn.py`, `gcsan.py`,
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

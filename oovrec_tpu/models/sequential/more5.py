@@ -10,7 +10,7 @@ deviation — the reference hard-requires the preload file)."""
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -13,7 +13,7 @@ packed feature table the feature-fused models use (estate key
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

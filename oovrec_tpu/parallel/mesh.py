@@ -21,7 +21,6 @@ code.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import numpy as np

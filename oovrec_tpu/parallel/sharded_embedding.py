@@ -20,7 +20,6 @@ that moves B·D/S — noted for when S is large enough to matter).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ of the reference's DDP backward-hook all-reduce (`trainer.py:68-101`).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import optax

@@ -24,7 +24,7 @@ import os
 import pickle
 import time
 from functools import partial
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
