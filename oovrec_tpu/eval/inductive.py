@@ -74,7 +74,14 @@ class InductiveEvaluator:
                 spec.dhe_num_hashes,
                 config.get("hash_key_dir", "./hash_keys"),
                 keys_u64=(self.estate or {}).get("dhe_keys"),
+                on_device=bool(config["dhe_on_device"]),
             )
+            if self.dhe_hasher.on_device:
+                from oovrec_tpu.ops.siphash_device import split_keys
+
+                self.estate["dhe_key_parts"] = split_keys(
+                    self.dhe_hasher.keys
+                )
 
     # ------------------------------------------------------------ device
 

@@ -29,9 +29,11 @@ MAX_HASH = 16777216  # 2^24 (`dh_embedder.py:53`)
 class DHEHasher:
     def __init__(self, num_hashes: int = 128,
                  hash_key_dir: str = "./hash_keys",
-                 keys_u64: Optional[np.ndarray] = None):
+                 keys_u64: Optional[np.ndarray] = None,
+                 on_device: bool = False):
         self.num_hashes = num_hashes
         self.hash_key_dir = hash_key_dir
+        self.on_device = on_device
         if keys_u64 is not None:
             self.keys = np.asarray(keys_u64, dtype=np.uint64).reshape(-1, 2)
             assert len(self.keys) == num_hashes
@@ -89,5 +91,14 @@ class DHEHasher:
             eff = np.where(flags > 0, ids + prime_pad, ids)
         else:
             eff = ids
-        batch[field + "_dhe"] = self.hash_ids(eff)
+        if self.on_device:
+            # ship id halves; the jitted step hashes them on the TPU
+            # (ops/siphash_device.py) — 64× less host→device transfer
+            from oovrec_tpu.ops.siphash_device import split_ids
+
+            lo, hi = split_ids(eff)
+            batch[field + "_dhe_lo"] = lo
+            batch[field + "_dhe_hi"] = hi
+        else:
+            batch[field + "_dhe"] = self.hash_ids(eff)
         return batch

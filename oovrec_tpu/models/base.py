@@ -103,7 +103,7 @@ class GeneralRecommender(nn.Module):
                     self.user_oov_mlp if side == "user" else self.item_oov_mlp
                 )
             if spec.embedder in ("dhe", "fdhe"):
-                dhe = batch.get(field + "_dhe")
+                dhe = dhe_hashes_for(batch, field, estate)
         return route(
             spec, side, ids, flags, buckets, iv_table, bucket_table,
             estate, mlp_apply=mlp, dhe_hashes=dhe,
@@ -115,6 +115,20 @@ class GeneralRecommender(nn.Module):
 
     def predict(self, batch: Batch, estate=None):
         raise NotImplementedError
+
+
+def dhe_hashes_for(batch: Batch, field: str, estate):
+    """Host-annotated hashes, or — under `dhe_on_device: true` — the
+    on-device SipHash of the shipped id halves (computed inside jit)."""
+    dhe = batch.get(field + "_dhe")
+    if dhe is None and field + "_dhe_lo" in batch:
+        from oovrec_tpu.ops.siphash_device import dhe_codes_device
+
+        dhe = dhe_codes_device(
+            batch[field + "_dhe_lo"], batch[field + "_dhe_hi"],
+            estate["dhe_key_parts"],
+        )
+    return dhe
 
 
 def batch_weight(batch: Batch):

@@ -36,7 +36,7 @@ import numpy as np
 
 from oovrec_tpu.inductive.routing import route
 from oovrec_tpu.inductive.spec import InductiveSpec
-from oovrec_tpu.models.base import Batch, EmbedderMLP, register_model
+from oovrec_tpu.models.base import dhe_hashes_for, Batch, EmbedderMLP, register_model
 from oovrec_tpu.models.init import xavier_normal
 from oovrec_tpu.utils.enums import FeatureSource, FeatureType, InputType, ModelType
 
@@ -219,7 +219,7 @@ class _FieldEmbedding(nn.Module):
                         (self.user_oov_mlp if side == "user" else self.item_oov_mlp)
                         if spec.trainable_embedder else None
                     ),
-                    dhe_hashes=batch.get(field + "_dhe"),
+                    dhe_hashes=dhe_hashes_for(batch, field, estate),
                 )
                 emb = emb.at[:, cell, :].set(routed)
         return emb

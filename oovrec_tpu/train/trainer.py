@@ -121,8 +121,15 @@ class Trainer:
                 spec.dhe_num_hashes,
                 config.get("hash_key_dir", "./hash_keys"),
                 keys_u64=self.estate.get("dhe_keys"),
+                on_device=bool(config["dhe_on_device"]),
             )
             self.estate["dhe_keys"] = self.dhe_hasher.keys
+            if self.dhe_hasher.on_device:
+                from oovrec_tpu.ops.siphash_device import split_keys
+
+                self.estate["dhe_key_parts"] = split_keys(
+                    self.dhe_hasher.keys
+                )
 
     # ------------------------------------------------------------ steps
 

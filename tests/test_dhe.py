@@ -110,3 +110,50 @@ def test_embedder_end_to_end(embedder, tmp_path):
         # the embedder MLP trained during OOV epochs
         params = res["trainer"].variables["params"]
         assert "user_oov_mlp" in params
+
+
+def test_device_siphash_bit_exact():
+    """ops/siphash_device.py: uint32-pair SipHash-2-4 equals the host
+    implementation bit-for-bit, including prime-padded id range."""
+    from oovrec_tpu.ops.siphash import siphash24_batch
+    from oovrec_tpu.ops.siphash_device import (
+        dhe_codes_device, siphash24_u32, split_ids, split_keys)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**64, (16, 2), dtype=np.uint64)
+    ids = np.concatenate([
+        rng.integers(0, 2**31, 64).astype(np.int64),
+        rng.integers(0, 2**40, 64).astype(np.int64) + 112062759511,
+    ])
+    host = siphash24_batch(ids.astype(np.uint64), keys)
+    lo, hi = split_ids(ids)
+    kp = split_keys(keys)
+    dlo, dhi = siphash24_u32(jnp.asarray(lo), jnp.asarray(hi), *kp)
+    dev = (np.asarray(dhi, np.uint64) << np.uint64(32)) | np.asarray(
+        dlo, np.uint64)
+    assert (dev == host).all()
+    codes = np.asarray(dhe_codes_device(jnp.asarray(lo), jnp.asarray(hi), kp))
+    assert (codes == (host % np.uint64(MAX_HASH)).astype(np.float32)).all()
+
+
+@pytest.mark.parametrize("embedder", ["dhe", "fdhe"])
+def test_embedder_on_device_hashing(embedder, tmp_path):
+    """dhe_on_device: the jitted step hashes id halves on-device; results
+    stay a valid end-to-end pipeline (same keys as the host path)."""
+    cfg = _ind_cfg(
+        checkpoint_dir=str(tmp_path),
+        inductive_embedder=embedder,
+        inductive_mapper=None,
+        add_oov_buckets=False,
+        epochs=2,
+        dhe_num_hashes=8,
+        dhe_layer_size=16,
+        hash_key_dir=str(tmp_path / "hash_keys"),
+        dhe_on_device=True,
+    )
+    res = run(config_dict=cfg, saved=True)
+    results = perform_inductive_eval(
+        res["dataset"], res["trainer"].saved_model_file, config=res["config"]
+    )
+    assert "recall@3" in results["overall"]
