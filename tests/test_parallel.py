@@ -66,3 +66,52 @@ def test_param_sharding_rule():
     sh = param_sharding(mesh, params, row_shard_threshold=4096)
     assert "model" in str(sh["big"].spec)
     assert sh["small"].spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_step_sequential_model():
+    """SASRec train step sharded over the 8-device mesh: data-parallel
+    batch, replicated (small) tables — compiles and runs one step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from oovrec_tpu.models import get_model_class
+    from oovrec_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4, 2)
+    cls = get_model_class("SASRec")
+    B, L, NI = 16, 8, 40
+    m = cls(n_users=20, n_items=NI, embedding_size=16, max_seq_length=L,
+            inner_size=16)
+    rng = np.random.default_rng(0)
+    batch = {
+        "item_id_list": jnp.asarray(rng.integers(1, NI, (B, L))),
+        "item_length": jnp.asarray(rng.integers(1, L + 1, (B,))),
+        "item_id": jnp.asarray(rng.integers(1, NI, (B,))),
+        "weight": jnp.ones((B,)),
+    }
+    vs = m.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                batch, method=m.calculate_loss)
+    tx = optax.adam(1e-3)
+    opt = tx.init(vs["params"])
+
+    dp = NamedSharding(mesh, P("data"))
+    db = {k: jax.device_put(v, NamedSharding(mesh, P("data", *(None,) * (v.ndim - 1))))
+          for k, v in batch.items()}
+    rep = NamedSharding(mesh, P())
+    params = jax.device_put(vs["params"], rep)
+    opt = jax.device_put(opt, rep)
+
+    @jax.jit
+    def step(params, opt, b):
+        loss, g = jax.value_and_grad(
+            lambda p: m.apply({"params": p}, b, method=m.calculate_loss,
+                              rngs={"dropout": jax.random.key(2)})
+        )(params)
+        u, opt2 = tx.update(g, opt)
+        return loss, optax.apply_updates(params, u), opt2
+
+    loss, params, opt = step(params, opt, db)
+    assert np.isfinite(float(loss))
