@@ -42,6 +42,25 @@ class _TreeBase:
 class XGBoostModel(_TreeBase):
     lib_name = "xgboost"
 
+    def fit_arrays(self, X, y, Xv=None, yv=None, params=None):
+        import xgboost as xgb
+
+        dtrain = xgb.DMatrix(X, label=y)
+        evals = [(xgb.DMatrix(Xv, label=yv), "valid")] if Xv is not None else []
+        self.booster = xgb.train(
+            params or {"objective": "binary:logistic", "eta": 0.1,
+                       "max_depth": 6},
+            dtrain, evals=evals,
+            num_boost_round=int(self.config.get("xgb_num_boost_round", 100)),
+            verbose_eval=False,
+        )
+        return self
+
+    def predict_array(self, X):
+        import xgboost as xgb
+
+        return self.booster.predict(xgb.DMatrix(X))
+
     def fit(self, train_loader, valid_loader=None, params: Optional[dict] = None):
         try:
             import xgboost as xgb
@@ -73,6 +92,21 @@ class XGBoostModel(_TreeBase):
 
 class LightGBMModel(_TreeBase):
     lib_name = "lightgbm"
+
+    def fit_arrays(self, X, y, Xv=None, yv=None, params=None):
+        import lightgbm as lgb
+
+        train_set = lgb.Dataset(X, label=y)
+        valid = [lgb.Dataset(Xv, label=yv)] if Xv is not None else []
+        self.booster = lgb.train(
+            params or {"objective": "binary", "learning_rate": 0.1},
+            train_set, valid_sets=valid,
+            num_boost_round=int(self.config.get("lgb_num_boost_round", 100)),
+        )
+        return self
+
+    def predict_array(self, X):
+        return self.booster.predict(X)
 
     def fit(self, train_loader, valid_loader=None, params: Optional[dict] = None):
         try:

@@ -251,3 +251,27 @@ def test_decisiontree_tabularize():
     assert X.shape == (21, 4) and "user_id" in names
     X2, _, _ = tabularize_split(ds.build()[0])
     assert X2.shape[1] == 4 and 0 < X2.shape[0] < 21
+
+
+def test_decisiontree_trainer_gated():
+    """DecisionTreeTrainer end-to-end when the optional wheel exists;
+    clean ImportError otherwise (environment ships no boosters)."""
+    pytest.importorskip("xgboost")
+    from oovrec_tpu.config.configurator import Config
+    from oovrec_tpu.data.decisiontree import DecisionTreeDataset
+    from oovrec_tpu.models.exlib.decision_tree import XGBoostModel
+    from oovrec_tpu.train.decision_tree_trainer import DecisionTreeTrainer
+
+    c = Config(config_dict={
+        "model": "BPR", "dataset": "toy",
+        "data_path": os.path.join(os.path.dirname(__file__), "assets"),
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+        "metrics": ["AUC", "LogLoss"], "metric_decimal_place": 4,
+    })
+    ds = DecisionTreeDataset(c)
+    tr, va, te = ds.build()
+    model = XGBoostModel(c, fields=["user_id", "item_id"], label_field="label")
+    t = DecisionTreeTrainer(c, model)
+    t.fit(tr, va)
+    res = t.evaluate(te)
+    assert "auc" in res
