@@ -251,8 +251,8 @@ class MCCLK(GeneralRecommender):
         # denominator batch-sized; reference uses all items)
         z_col = self.proj_local[0](i_col[pos])
         z_struct = self.proj_local[1](i_struct[pos])
-        local = self._infonce(z_struct, z_sem := self.proj_local[1](i_sem[pos]),
-                              self.tau)
+        z_sem = self.proj_local[1](i_sem[pos])
+        local = self._infonce(z_struct, z_sem, self.tau)
         g1 = self.proj_global[0](i_sem[pos])
         g2 = self.proj_global[1]((i_col + i_struct)[pos])
         global_ = self._infonce(g1, g2, self.tau) + self._infonce(
