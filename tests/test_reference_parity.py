@@ -1,0 +1,151 @@
+"""Golden parity vs the ACTUAL reference implementation.
+
+Imports the reference's metric classes (read-only, with its optional deps
+stubbed) and asserts our per-user metric matrices and pooled values are
+numerically identical on random inputs. This is the strongest possible
+metric-parity evidence — the oracle IS the reference code.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import oovrec_tpu.eval.metrics as om
+
+REF = "/root/reference/RecBole"
+
+
+@pytest.fixture(scope="module")
+def ref_metrics():
+    for name in ("colorlog", "thop", "ray", "hyperopt", "texttable"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["colorlog"].ColoredFormatter = object
+    sys.modules["texttable"].Texttable = object
+    tb = types.ModuleType("torch.utils.tensorboard")
+    tb.SummaryWriter = object
+    sys.modules["torch.utils.tensorboard"] = tb
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    # the reference targets an older numpy that still had these aliases
+    for alias, typ in (("float", float), ("int", int), ("bool", bool)):
+        if not hasattr(np, alias):
+            setattr(np, alias, typ)
+    from recbole.evaluator import metrics as rm
+
+    return rm
+
+
+def _rand_topk(rng, B=64, K=10):
+    pos_index = rng.random((B, K)) < 0.3
+    pos_len = rng.integers(1, 15, (B,))
+    return pos_index.astype(bool), pos_len.astype(np.int64)
+
+
+CASES = [
+    ("Hit", "hit_", False),
+    ("MRR", "mrr_", False),
+    ("MAP", "map_", True),
+    ("Recall", "recall_", True),
+    ("NDCG", "ndcg_", True),
+    ("Precision", "precision_", False),
+]
+
+
+@pytest.mark.parametrize("ref_name,ours,needs_len", CASES)
+def test_topk_metric_matrix_parity(ref_metrics, ref_name, ours, needs_len):
+    rng = np.random.default_rng(11)
+    pos_index, pos_len = _rand_topk(rng)
+    cls = getattr(ref_metrics, ref_name)
+    obj = cls.__new__(cls)  # skip __init__ (wants a Config)
+    expect = obj.metric_info(
+        *( (pos_index, pos_len) if _ref_wants_len(cls) else (pos_index,) )
+    )
+    mine = getattr(om, ours)(
+        pos_index, pos_len
+    ) if True else None
+    np.testing.assert_allclose(np.asarray(mine, np.float64),
+                               np.asarray(expect, np.float64),
+                               rtol=1e-10, atol=1e-12)
+
+
+def _ref_wants_len(cls) -> bool:
+    import inspect
+
+    return len(inspect.signature(cls.metric_info).parameters) > 2
+
+
+def test_auc_parity(ref_metrics):
+    rng = np.random.default_rng(5)
+    preds = rng.random(500)
+    trues = (rng.random(500) < 0.4).astype(np.float64)
+    cls = ref_metrics.AUC
+    obj = cls.__new__(cls)
+    obj.decimal_place = 10
+    expect = obj.metric_info(preds, trues)
+    mine = om.auc_(preds, trues)
+    assert abs(mine - expect) < 1e-9
+
+
+def test_gauc_parity(ref_metrics):
+    rng = np.random.default_rng(9)
+    B = 40
+    user_len = rng.integers(5, 50, B).astype(np.float64)
+    pos_len = np.minimum(rng.integers(1, 5, B), user_len - 1).astype(
+        np.float64)
+    # pos_rank_sum must be a feasible sum of pos_len ranks in [1, user_len]
+    pos_rank_sum = np.array([
+        np.sum(rng.choice(np.arange(1, int(u) + 1), int(p), replace=False))
+        for u, p in zip(user_len, pos_len)
+    ], dtype=np.float64).reshape(-1, 1)
+    cls = ref_metrics.GAUC
+    obj = cls.__new__(cls)
+    expect = obj.metric_info(pos_rank_sum.squeeze(), user_len, pos_len)
+    mine = om.gauc_(pos_rank_sum.squeeze(), user_len, pos_len)
+    assert abs(mine - expect) < 1e-9
+
+
+def test_distribution_metrics_parity(ref_metrics):
+    rng = np.random.default_rng(21)
+    num_items = 60
+    item_matrix = rng.integers(1, num_items, (40, 10))
+    counts = {int(i): int(c) for i, c in
+              zip(*np.unique(rng.integers(1, num_items, 400),
+                             return_counts=True))}
+
+    # ItemCoverage
+    cov = ref_metrics.ItemCoverage.__new__(ref_metrics.ItemCoverage)
+    expect = cov.get_coverage(item_matrix, num_items)
+    assert abs(om.item_coverage_(item_matrix, num_items) - expect) < 1e-12
+
+    # GiniIndex
+    gini = ref_metrics.GiniIndex.__new__(ref_metrics.GiniIndex)
+    expect = gini.get_gini(item_matrix, num_items)
+    assert abs(om.gini_index_(item_matrix, num_items) - expect) < 1e-12
+
+    # ShannonEntropy
+    ent = ref_metrics.ShannonEntropy.__new__(ref_metrics.ShannonEntropy)
+    expect = ent.get_entropy(item_matrix)
+    assert abs(om.shannon_entropy_(item_matrix) - expect) < 1e-12
+
+    # AveragePopularity per-user matrix
+    pop = ref_metrics.AveragePopularity.__new__(ref_metrics.AveragePopularity)
+    expect = pop.metric_info(pop.get_pop(item_matrix, counts))
+    dense = np.zeros(num_items)
+    for i, c in counts.items():
+        dense[i] = c
+    mine = om.average_popularity_(item_matrix, dense)
+    np.testing.assert_allclose(mine, expect, rtol=1e-12)
+
+    # TailPercentage per-user matrix
+    tp = ref_metrics.TailPercentage.__new__(ref_metrics.TailPercentage)
+    tp.tail = 0.1
+    expect = tp.metric_info(tp.get_tail(item_matrix, counts))
+    # our dense variant treats missing items as count 0 — align by
+    # restricting to items present in `counts`
+    dense_tail = np.full(num_items, np.inf)
+    for i, c in counts.items():
+        dense_tail[i] = c
+    mine = om.tail_percentage_(item_matrix, dense_tail, tail=0.1)
+    np.testing.assert_allclose(mine, expect, rtol=1e-12)
