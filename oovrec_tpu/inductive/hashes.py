@@ -61,11 +61,19 @@ def three_round_int_hash(x: np.ndarray) -> np.ndarray:
 
 
 def big_64bit_hash(x: np.ndarray, n_buckets: int) -> np.ndarray:
-    """splitmix64-style finalizer computed in uint64, already bucketed."""
+    """splitmix64-style finalizer computed in uint64, already bucketed.
+
+    Quirk preserved: the reference builds its multipliers with
+    `int.from_bytes(b'\xbf\x58...', byteorder='little')`
+    (`random_mapper.py:98-100`), i.e. the BYTE-SWAPPED standard splitmix64
+    constants — 0xB9E5E41C6D4758BF / 0xEB113113BB49D094. Bit-compatibility
+    (same ids → same buckets → reusable checkpoints) requires using the
+    swapped values, verified against the reference class directly in
+    tests/test_reference_parity.py."""
     x = np.asarray(x, dtype=_I64).astype(_U64)
     with np.errstate(over="ignore"):
-        x = (x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)
+        x = (x ^ (x >> _U64(30))) * _U64(0xB9E5E41C6D4758BF)
+        x = (x ^ (x >> _U64(27))) * _U64(0xEB113113BB49D094)
         x = x ^ (x >> _U64(31))
         x = x % _U64(n_buckets)
     return x.astype(_I64)

@@ -89,8 +89,8 @@ def test_64bit_reference_values():
     def py_splitmix64(v):
         M = (1 << 64) - 1
         v &= M
-        v = ((v ^ (v >> 30)) * 0xBF58476D1CE4E5B9) & M
-        v = ((v ^ (v >> 27)) * 0x94D049BB133111EB) & M
+        v = ((v ^ (v >> 30)) * 0xB9E5E41C6D4758BF) & M
+        v = ((v ^ (v >> 27)) * 0xEB113113BB49D094) & M
         v ^= v >> 31
         return v
 

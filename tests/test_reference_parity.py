@@ -149,3 +149,28 @@ def test_distribution_metrics_parity(ref_metrics):
         dense_tail[i] = c
     mine = om.tail_percentage_(item_matrix, dense_tail, tail=0.1)
     np.testing.assert_allclose(mine, expect, rtol=1e-12)
+
+
+def test_hash_family_parity(ref_metrics):
+    """All four bucket hash functions vs the reference's actual
+    RandomOOVInductiveMapper methods (incl. the byte-swapped splitmix64
+    constants quirk, `random_mapper.py:98-100`)."""
+    import torch
+    from recbole.inductive.random_mapper import RandomOOVInductiveMapper
+
+    from oovrec_tpu.inductive import hashes as oh
+
+    m = RandomOOVInductiveMapper.__new__(RandomOOVInductiveMapper)
+    rng = np.random.default_rng(0)
+    ids = torch.tensor(rng.integers(0, 2**45, 2000, dtype=np.int64))
+    assert (m._fast_int_hash(ids).numpy()
+            == oh.fast_int_hash(ids.numpy())).all()
+    assert (m._three_round_int_hash(ids).numpy()
+            == oh.three_round_int_hash(ids.numpy())).all()
+    for nb in (7, 200, 1024):
+        assert (m._big_64bit_hash(ids, nb).numpy()
+                == oh.big_64bit_hash(ids.numpy(), nb)).all()
+    for fn in ("mod", "fast", "3round", "64bit"):
+        m.hash_function = fn
+        assert (m._hash_ids(ids, 321).numpy()
+                == oh.hash_ids(ids.numpy(), 321, fn)).all()
