@@ -174,3 +174,65 @@ def test_hash_family_parity(ref_metrics):
         m.hash_function = fn
         assert (m._hash_ids(ids, 321).numpy()
                 == oh.hash_ids(ids.numpy(), 321, fn)).all()
+
+
+@pytest.fixture(scope="module")
+def ref_dataset_cls(ref_metrics):
+    """Reference Config+Dataset, importable thanks to the same shims."""
+    np.float_ = np.float64
+    np.complex_ = np.complex128
+    np.unicode_ = np.str_
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for a, t in (("object", object), ("str", str), ("long", int),
+                     ("unicode", str)):
+            if not hasattr(np, a):
+                setattr(np, a, t)
+    import logging
+
+    logging.disable(logging.CRITICAL)
+    from recbole.config import Config as RefConfig
+    from recbole.data.dataset import Dataset as RefDataset
+
+    return RefConfig, RefDataset
+
+
+def test_dataset_pipeline_parity(ref_dataset_cls):
+    """Full data-pipeline parity on the toy fixture: identical token
+    remaps and identical per-split row sets (TO order, RS [0.8,0.1,0.1],
+    group_by user) vs the ACTUAL reference Dataset."""
+    RefConfig, RefDataset = ref_dataset_cls
+    import os
+    import warnings
+
+    from oovrec_tpu.config.configurator import Config
+    from oovrec_tpu.data.dataset import Dataset
+
+    common = {
+        "data_path": os.path.join(os.path.dirname(__file__), "assets"),
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+        "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "TO",
+                      "group_by": "user", "mode": "full"},
+        "seed": 2020,
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rds = RefDataset(RefConfig(model="BPR", dataset="toy",
+                                   config_dict=dict(common)))
+        rsplits = rds.build()
+    ods = Dataset(Config(config_dict=dict(common, model="BPR",
+                                          dataset="toy")))
+    osplits = ods.build()
+
+    assert list(rds.field2id_token["user_id"]) == list(
+        ods.field2id_token["user_id"])
+    assert list(rds.field2id_token["item_id"]) == list(
+        ods.field2id_token["item_id"])
+    for r, o in zip(rsplits, osplits):
+        rr = sorted(zip(r.inter_feat["user_id"].numpy().tolist(),
+                        r.inter_feat["item_id"].numpy().tolist()))
+        oo = sorted(zip(o.inter[o.uid_field].tolist(),
+                        o.inter[o.iid_field].tolist()))
+        assert rr == oo
