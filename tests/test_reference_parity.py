@@ -236,3 +236,148 @@ def test_dataset_pipeline_parity(ref_dataset_cls):
         oo = sorted(zip(o.inter[o.uid_field].tolist(),
                         o.inter[o.iid_field].tolist()))
         assert rr == oo
+
+
+def test_sequential_augmentation_parity(ref_dataset_cls):
+    """Row-exact augmentation + leave-one-out parity vs the reference
+    SequentialDataset (prefix windows, targets, lengths)."""
+    RefConfig, _ = ref_dataset_cls
+    import os
+    import warnings
+
+    from recbole.data.dataset import SequentialDataset as RefSeq
+
+    from oovrec_tpu.config.configurator import Config
+    from oovrec_tpu.data.sequential import SequentialDataset
+
+    common = {
+        "data_path": os.path.join(os.path.dirname(__file__), "assets"),
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+        "MAX_ITEM_LIST_LENGTH": 4,
+        "train_neg_sample_args": None,
+        "eval_args": {"split": {"LS": "valid_and_test"}, "order": "TO",
+                      "group_by": "user", "mode": "full"},
+        "seed": 2020,
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rds = RefSeq(RefConfig(model="GRU4Rec", dataset="toy",
+                               config_dict=dict(common)))
+        rsplits = rds.build()
+    ods = SequentialDataset(
+        Config(config_dict=dict(common, model="GRU4Rec", dataset="toy")))
+    osplits = ods.build()
+
+    def ref_rows(split):
+        f = split.inter_feat
+        return sorted(zip(
+            f["user_id"].numpy().tolist(),
+            [tuple(r) for r in f["item_id_list"].numpy().tolist()],
+            f["item_id"].numpy().tolist(),
+            f["item_length"].numpy().tolist(),
+        ))
+
+    def our_rows(s):
+        return sorted(zip(
+            s.inter["user_id"].tolist(),
+            [tuple(r) for r in s.inter["item_id_list"].tolist()],
+            s.inter["item_id"].tolist(),
+            s.inter["item_length"].tolist(),
+        ))
+
+    for r, o in zip(rsplits, osplits):
+        assert ref_rows(r) == our_rows(o)
+
+
+def test_bpr_oov_routing_parity(ref_dataset_cls):
+    """Crown-jewel parity: the reference's inductive BPR fork with OUR
+    trained weights copied in produces IDENTICAL user/item embeddings for
+    mixed in-vocab + new-entity ids (random mapper, 64bit hash, OOV
+    buckets) — i.e. our branchless routing is the reference's
+    zero-then-overwrite routing, checkpoint-compatibly."""
+    RefConfig, RefDataset = ref_dataset_cls
+    import os
+    import warnings
+
+    import jax
+    import torch
+
+    from oovrec_tpu.inductive.mapper import RandomOOVMapper
+    from oovrec_tpu.inductive.spec import InductiveSpec
+    from oovrec_tpu.models.bpr import BPR
+
+    common = {
+        "data_path": os.path.join(os.path.dirname(__file__), "assets"),
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+        "embedding_size": 8,
+        "add_oov_buckets": True,
+        "user_oov_buckets": 13,
+        "item_oov_buckets": 11,
+        "oov_freeze_embedding": False,
+        "seed": 2020,
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rcfg = RefConfig(model="BPR", dataset="toy",
+                         config_dict=dict(common))
+        rds = RefDataset(rcfg)
+        from recbole.inductive.random_mapper import RandomOOVInductiveMapper
+        from recbole.model.general_recommender.bpr import BPR as RefBPR
+
+        n_u, n_i = rds.user_num, rds.item_num
+        rmapper = RandomOOVInductiveMapper(
+            np.zeros((n_u + 5, 1)), np.zeros((n_i + 7, 1)), n_u, n_i,
+            13, 11, 8, torch.device("cpu"), 112062759511, "64bit",
+        )
+        rmapper.set_eval()
+        rmodel = RefBPR(rcfg, rds, inductive_mapper=rmapper)
+        rmodel.eval()
+
+    spec = InductiveSpec(mapper="random", add_oov_buckets=True,
+                         n_user_buckets=13, n_item_buckets=11,
+                         embedding_size=8, hash_function="64bit")
+    ours = BPR(n_users=n_u, n_items=n_i, embedding_size=8, spec=spec)
+    B = 6
+    tmpl = {
+        "user_id": np.zeros(B, np.int32),
+        "item_id": np.zeros(B, np.int32),
+        "neg_item_id": np.zeros(B, np.int32),
+        "weight": np.ones(B, np.float32),
+    }
+    for f in ("user_id", "item_id", "neg_item_id"):
+        tmpl[f + "_oov"] = np.zeros(B, np.int32)
+        tmpl[f + "_bucket"] = np.zeros(B, np.int32)
+    vs = ours.init(jax.random.key(0), tmpl, {}, method=ours.calculate_loss)
+    p = vs["params"]
+
+    with torch.no_grad():
+        rmodel.user_embedding.weight.copy_(torch.tensor(
+            np.asarray(p["user_embedding"]["embedding"])))
+        rmodel.item_embedding.weight.copy_(torch.tensor(
+            np.asarray(p["item_embedding"]["embedding"])))
+        rmodel.user_oov_buckets.weight.copy_(torch.tensor(
+            np.asarray(p["user_oov_buckets"]["embedding"])))
+        rmodel.item_oov_buckets.weight.copy_(torch.tensor(
+            np.asarray(p["item_oov_buckets"]["embedding"])))
+
+    # mixed ids: in-vocab and new (>= n)
+    user_ids = np.array([1, 3, n_u + 2, n_u + 40, 2, n_u + 7], np.int64)
+    item_ids = np.array([2, n_i + 1, 4, n_i + 33, n_i + 5, 1], np.int64)
+    with torch.no_grad():
+        ref_ue = rmodel.get_user_embedding(torch.tensor(user_ids)).numpy()
+        ref_ie = rmodel.get_item_embedding(torch.tensor(item_ids)).numpy()
+
+    mapper = RandomOOVMapper(spec, n_u, n_i)
+    batch = {"user_id": user_ids.copy(), "item_id": item_ids.copy(),
+             "neg_item_id": item_ids.copy()}
+    mapper.annotate(batch, "user_id", "item_id")
+    # our device path indexes the IV table with clipped ids
+    b = {k: np.asarray(v) for k, v in batch.items()}
+    b["user_id"] = np.minimum(b["user_id"], n_u - 1).astype(np.int32)
+    b["item_id"] = np.minimum(b["item_id"], n_i - 1).astype(np.int32)
+    our_ue = np.asarray(ours.apply(
+        vs, jax.numpy.asarray(b["user_id"]), b, {}, method=ours.user_e))
+    our_ie = np.asarray(ours.apply(
+        vs, jax.numpy.asarray(b["item_id"]), b, {}, method=ours.item_e))
+    np.testing.assert_allclose(our_ue, ref_ue, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(our_ie, ref_ie, rtol=1e-6, atol=1e-7)
