@@ -381,3 +381,73 @@ def test_bpr_oov_routing_parity(ref_dataset_cls):
         vs, jax.numpy.asarray(b["item_id"]), b, {}, method=ours.item_e))
     np.testing.assert_allclose(our_ue, ref_ue, rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(our_ie, ref_ie, rtol=1e-6, atol=1e-7)
+
+
+def test_lsh_embedder_parity(ref_metrics):
+    """LSH bucket-mean embeddings vs the reference LSHInductiveEmbedder
+    with identical hyperplanes / feature matrices / bucket tables."""
+    import torch
+    import types as _types
+
+    pl = _types.ModuleType("pyLSHash")
+    pl.storage = _types.ModuleType("pyLSHash.storage")
+    class _Store:
+        def __init__(self, *a, **k):
+            pass
+
+    pl.storage.StorageBase = _Store
+    pl.storage.InMemoryStorage = _Store
+    pl.storage.RedisStorage = _Store
+    sys.modules.setdefault("pyLSHash", pl)
+    sys.modules.setdefault("pyLSHash.storage", pl.storage)
+    scann = _types.ModuleType("scann")
+    sys.modules.setdefault("scann", scann)
+    csip = _types.ModuleType("csiphash")
+    sys.modules.setdefault("csiphash", csip)
+    from recbole.inductive.lsh_embedder import LSHInductiveEmbedder
+    from recbole.inductive.torch_hash import TorchLSHash
+
+    import jax.numpy as jnp
+    from oovrec_tpu.inductive.routing import oov_embedding
+    from oovrec_tpu.inductive.spec import InductiveSpec
+
+    rng = np.random.default_rng(33)
+    N, F, BITS, D = 30, 6, 13, 8
+    feats = rng.standard_normal((N, F)).astype(np.float32)
+    planes = rng.standard_normal((BITS, F)).astype(np.float32)
+    buckets = rng.standard_normal((BITS, D)).astype(np.float32)
+
+    import torch.nn as _nn
+
+    ref = LSHInductiveEmbedder.__new__(LSHInductiveEmbedder)
+    if isinstance(ref, _nn.Module):
+        _nn.Module.__init__(ref)
+    ref.training = False
+    ref.device = torch.device("cpu")
+    ref.prime_pad = 112062759511
+    ref.user_feature_mat = torch.tensor(feats)
+    lsh = TorchLSHash.__new__(TorchLSHash)
+    import torch.nn as nn
+
+    nn.Module.__init__(lsh)
+
+    lsh.uniform_planes = nn.ParameterList(
+        [nn.Parameter(torch.tensor(planes))])
+    ref.user_lsh = lsh
+
+    class FakeModel:
+        user_oov_buckets = nn.Embedding.from_pretrained(
+            torch.tensor(buckets))
+
+    ids = np.array([0, 3, 7, 29, 15], np.int64)
+    with torch.no_grad():
+        expect = ref.embed_user_ids(torch.tensor(ids), FakeModel()).numpy()
+
+    spec = InductiveSpec(embedder="lsh", embedding_size=D)
+    estate = {"user_feat_mat": jnp.asarray(feats),
+              "user_planes": jnp.asarray(planes)}
+    mine = np.asarray(oov_embedding(
+        spec, "user", jnp.asarray(ids.astype(np.int32)), None,
+        jnp.zeros((5, D), jnp.float32), jnp.asarray(buckets), estate,
+    ))
+    np.testing.assert_allclose(mine, expect, rtol=1e-5, atol=1e-6)
