@@ -40,7 +40,7 @@ class EmbedderMLP(nn.Module):
     def __call__(self, x):
         for _ in range(self.n_hidden):
             x = nn.Dense(self.layer_size, kernel_init=xavier_normal)(x)
-            x = nn.gelu(x)
+            x = nn.gelu(x, approximate=False)  # torch nn.GELU default (erf)
         x = nn.Dense(self.out_size, kernel_init=xavier_normal)(x)
         return nn.sigmoid(x)
 

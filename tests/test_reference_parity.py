@@ -451,3 +451,35 @@ def test_lsh_embedder_parity(ref_metrics):
         jnp.zeros((5, D), jnp.float32), jnp.asarray(buckets), estate,
     ))
     np.testing.assert_allclose(mine, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_dhe_mlp_arch_parity(ref_metrics):
+    """EmbedderMLP ≡ the reference's hash_net Sequential
+    (`dh_embedder.py:70-78`: Linear(num_hashes,512)+GELU ×3 + Linear(512,D)
+    + Sigmoid) — same weights → same outputs."""
+    import jax
+    import torch
+    import torch.nn as nn
+
+    from oovrec_tpu.models.base import EmbedderMLP
+
+    H, L, D, B = 16, 32, 8, 5
+    m = EmbedderMLP(layer_size=L, out_size=D)
+    x = np.random.default_rng(2).standard_normal((B, H)).astype(np.float32)
+    vs = m.init(jax.random.key(0), x)
+
+    net = nn.Sequential(
+        nn.Linear(H, L), nn.GELU(),
+        nn.Linear(L, L), nn.GELU(),
+        nn.Linear(L, L), nn.GELU(),
+        nn.Linear(L, D), nn.Sigmoid(),
+    )
+    lin = [l for l in net if isinstance(l, nn.Linear)]
+    with torch.no_grad():
+        for i, l in enumerate(lin):
+            p = vs["params"][f"Dense_{i}"]
+            l.weight.copy_(torch.tensor(np.asarray(p["kernel"]).T))
+            l.bias.copy_(torch.tensor(np.asarray(p["bias"])))
+        expect = net(torch.tensor(x)).numpy()
+    mine = np.asarray(m.apply(vs, x))
+    np.testing.assert_allclose(mine, expect, rtol=2e-5, atol=2e-6)
