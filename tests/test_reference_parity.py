@@ -483,3 +483,73 @@ def test_dhe_mlp_arch_parity(ref_metrics):
         expect = net(torch.tensor(x)).numpy()
     mine = np.asarray(m.apply(vs, x))
     np.testing.assert_allclose(mine, expect, rtol=2e-5, atol=2e-6)
+
+
+def test_loss_parity(ref_metrics):
+    """BPRLoss / EmbLoss (both modes) vs `recbole/model/loss.py`."""
+    import torch
+
+    from recbole.model.loss import BPRLoss, EmbLoss
+
+    from oovrec_tpu.models import losses as ol
+
+    rng = np.random.default_rng(4)
+    pos = rng.standard_normal(64).astype(np.float32)
+    neg = rng.standard_normal(64).astype(np.float32)
+    expect = BPRLoss()(torch.tensor(pos), torch.tensor(neg)).item()
+    assert abs(float(ol.bpr_loss(pos, neg)) - expect) < 1e-6
+
+    e1 = rng.standard_normal((32, 8)).astype(np.float32)
+    e2 = rng.standard_normal((32, 8)).astype(np.float32)
+    el = EmbLoss()
+    expect = el(torch.tensor(e1), torch.tensor(e2)).item()
+    assert abs(float(ol.emb_loss(e1, e2)) - expect) < 1e-5
+    expect = el(torch.tensor(e1), torch.tensor(e2),
+                require_pow=True).item()
+    assert abs(float(ol.emb_loss(e1, e2, require_pow=True)) - expect) < 1e-5
+
+
+def test_slsh_embedder_parity(ref_metrics):
+    """Single-LSH quirk ((2**bits).sum() % B bucket id) vs the reference
+    SingleLSHInductiveEmbedder._hash_node."""
+    import torch
+    import torch.nn as nn
+
+    from recbole.inductive.single_lsh_embedder import (
+        SingleLSHInductiveEmbedder,
+    )
+    from recbole.inductive.torch_hash import TorchLSHash
+
+    import jax.numpy as jnp
+    from oovrec_tpu.inductive.routing import oov_embedding
+    from oovrec_tpu.inductive.spec import InductiveSpec
+
+    rng = np.random.default_rng(44)
+    N, F, BITS, NB, D = 30, 6, 5, 7, 8
+    feats = rng.standard_normal((N, F)).astype(np.float32)
+    planes = rng.standard_normal((BITS, F)).astype(np.float32)
+    buckets = rng.standard_normal((NB, D)).astype(np.float32)
+
+    ref = SingleLSHInductiveEmbedder.__new__(SingleLSHInductiveEmbedder)
+    if isinstance(ref, nn.Module):
+        nn.Module.__init__(ref)
+    ref.device = torch.device("cpu")
+    lsh = TorchLSHash.__new__(TorchLSHash)
+    nn.Module.__init__(lsh)
+    lsh.uniform_planes = nn.ParameterList(
+        [nn.Parameter(torch.tensor(planes))])
+    ids = np.array([0, 3, 7, 29, 15], np.int64)
+    with torch.no_grad():
+        bucket_ids = ref._hash_node(
+            torch.tensor(ids), lsh, torch.tensor(feats), NB
+        ).numpy()
+    expect = buckets[bucket_ids]
+
+    spec = InductiveSpec(embedder="slsh", embedding_size=D)
+    estate = {"user_feat_mat": jnp.asarray(feats),
+              "user_planes": jnp.asarray(planes)}
+    mine = np.asarray(oov_embedding(
+        spec, "user", jnp.asarray(ids.astype(np.int32)), None,
+        jnp.zeros((5, D), jnp.float32), jnp.asarray(buckets), estate,
+    ))
+    np.testing.assert_allclose(mine, expect, rtol=1e-6)
