@@ -32,6 +32,24 @@ def ref_metrics():
     for alias, typ in (("float", float), ("int", int), ("bool", bool)):
         if not hasattr(np, alias):
             setattr(np, alias, typ)
+    # optional native wheels the inductive modules import
+    pl = types.ModuleType("pyLSHash")
+    st = types.ModuleType("pyLSHash.storage")
+
+    class _Store:
+        def __init__(self, *a, **k):
+            pass
+
+    st.StorageBase = st.InMemoryStorage = st.RedisStorage = _Store
+    pl.storage = st
+    sys.modules.setdefault("pyLSHash", pl)
+    sys.modules.setdefault("pyLSHash.storage", st)
+    sys.modules.setdefault("scann", types.ModuleType("scann"))
+    csip = types.ModuleType("csiphash")
+    from oovrec_tpu.ops.siphash import siphash24_py
+
+    csip.siphash24 = siphash24_py
+    sys.modules.setdefault("csiphash", csip)
     from recbole.evaluator import metrics as rm
 
     return rm
@@ -387,23 +405,7 @@ def test_lsh_embedder_parity(ref_metrics):
     """LSH bucket-mean embeddings vs the reference LSHInductiveEmbedder
     with identical hyperplanes / feature matrices / bucket tables."""
     import torch
-    import types as _types
 
-    pl = _types.ModuleType("pyLSHash")
-    pl.storage = _types.ModuleType("pyLSHash.storage")
-    class _Store:
-        def __init__(self, *a, **k):
-            pass
-
-    pl.storage.StorageBase = _Store
-    pl.storage.InMemoryStorage = _Store
-    pl.storage.RedisStorage = _Store
-    sys.modules.setdefault("pyLSHash", pl)
-    sys.modules.setdefault("pyLSHash.storage", pl.storage)
-    scann = _types.ModuleType("scann")
-    sys.modules.setdefault("scann", scann)
-    csip = _types.ModuleType("csiphash")
-    sys.modules.setdefault("csiphash", csip)
     from recbole.inductive.lsh_embedder import LSHInductiveEmbedder
     from recbole.inductive.torch_hash import TorchLSHash
 
@@ -553,3 +555,137 @@ def test_slsh_embedder_parity(ref_metrics):
         jnp.zeros((5, D), jnp.float32), jnp.asarray(buckets), estate,
     ))
     np.testing.assert_allclose(mine, expect, rtol=1e-6)
+
+
+def test_widedeep_context_routing_parity(ref_dataset_cls):
+    """Paper ranking-model parity: the reference inductive WideDeep
+    (packed token/float tables + first-order twin + MLP, OOV cells routed
+    through mapper buckets) with OUR weights returns IDENTICAL logits for
+    mixed in-vocab/new ids — the whole InductiveContextRecommender stack
+    (`abstract_recommender.py:715-842`, `layers.py:1617-1693`) matches."""
+    RefConfig, RefDataset = ref_dataset_cls
+    import os
+    import warnings
+
+    import jax
+    import torch
+
+    from oovrec_tpu.config.configurator import Config
+    from oovrec_tpu.data.dataset import Dataset
+    from oovrec_tpu.inductive.mapper import RandomOOVMapper
+    from oovrec_tpu.inductive.spec import InductiveSpec
+    from oovrec_tpu.models import get_model_class
+    from oovrec_tpu.models.context import field_spec_from_dataset
+
+    common = {
+        "data_path": os.path.join(os.path.dirname(__file__), "assets"),
+        "load_col": {
+            "inter": ["user_id", "item_id", "rating", "timestamp", "is_new"],
+            "user": ["user_id", "age", "gender"],
+            "item": ["item_id", "price", "category"],
+        },
+        "embedding_size": 8,
+        "numerical_features": ["age", "price"],
+        "threshold": {"rating": 4},
+        "mlp_hidden_size": [32, 16, 8],
+        "dropout_prob": 0.0,
+        "add_oov_buckets": True, "user_oov_buckets": 13,
+        "item_oov_buckets": 11, "oov_freeze_embedding": False,
+        "inductive_mapper": "random",
+        "oov_prime_pad": 112062759511,
+        "oov_hash_function": "64bit",
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rcfg = RefConfig(model="WideDeep", dataset="toy-ind",
+                         config_dict=dict(common))
+        rds = RefDataset(rcfg)
+        from recbole.inductive.random_mapper import RandomOOVInductiveMapper
+        from recbole.model.context_aware_recommender.widedeep import (
+            WideDeep as RefWD,
+        )
+
+        n_u, n_i = rds.user_num, rds.item_num
+        rmap = RandomOOVInductiveMapper(
+            np.zeros((n_u + 5, 1)), np.zeros((n_i + 5, 1)), n_u, n_i,
+            13, 11, 8, torch.device("cpu"), 112062759511, "64bit")
+        rmap.set_eval()
+        rm = RefWD(rcfg, rds, inductive_mapper=rmap)
+        rm.eval()
+
+    oc = Config(config_dict=dict(common, model="WideDeep",
+                                 dataset="toy-ind"))
+    ods = Dataset(oc)
+    fs = field_spec_from_dataset(ods, oc)
+    spec = InductiveSpec(mapper="random", add_oov_buckets=True,
+                         n_user_buckets=13, n_item_buckets=11,
+                         embedding_size=8, hash_function="64bit")
+    om = get_model_class("WideDeep")(
+        fields=fs, spec=spec, embedding_size=8,
+        mlp_hidden_size=(32, 16, 8), dropout_prob=0.0)
+    assert fs.token_dims == tuple(rm.token_field_dims)
+
+    B = 5
+    batch = {
+        "user_id": np.array([1, 3, n_u + 2, 2, n_u + 9], np.int64),
+        "item_id": np.array([2, n_i + 4, 4, n_i + 1, 1], np.int64),
+        "is_new": np.array([1, 1, 2, 1, 2], np.int64),
+        "gender": np.array([1, 2, 1, 2, 1], np.int64),
+        "category": np.array([1, 3, 2, 1, 3], np.int64),
+        "age": np.array([0.5, 0.8, 0.2, 1.0, 0.3], np.float32),
+        "age__bucket": np.ones(B, np.int64),
+        "price": np.array([0.1, 0.9, 0.4, 0.6, 0.2], np.float32),
+        "price__bucket": np.ones(B, np.int64),
+        "label": np.zeros(B, np.float32),
+        "weight": np.ones(B, np.float32),
+    }
+    RandomOOVMapper(spec, n_u, n_i).annotate(batch, "user_id", "item_id")
+    ob = dict(batch)
+    ob["user_id"] = np.minimum(ob["user_id"], n_u - 1).astype(np.int32)
+    ob["item_id"] = np.minimum(ob["item_id"], n_i - 1).astype(np.int32)
+    vs = om.init(jax.random.key(0), ob, {}, method=om.calculate_loss)
+    p = vs["params"]
+
+    def T(x):
+        return torch.tensor(np.asarray(x))
+
+    with torch.no_grad():
+        rm.token_embedding_table.embedding.weight.copy_(
+            T(p["fields"]["token_embedding_table"]["embedding"]))
+        rm.float_embedding_table.embedding.weight.copy_(
+            T(p["fields"]["float_embedding_table"]["embedding"]))
+        rm.user_oov_buckets.weight.copy_(
+            T(p["fields"]["user_oov_buckets"]["embedding"]))
+        rm.item_oov_buckets.weight.copy_(
+            T(p["fields"]["item_oov_buckets"]["embedding"]))
+        fo = p["first_order_linear"]
+        rm.first_order_linear.bias.copy_(T(fo["bias"]))
+        rm.first_order_linear.token_embedding_table.embedding.weight.copy_(
+            T(fo["fo"]["token_embedding_table"]["embedding"]))
+        rm.first_order_linear.float_embedding_table.embedding.weight.copy_(
+            T(fo["fo"]["float_embedding_table"]["embedding"]))
+        rm.first_order_linear.user_oov_buckets.weight.copy_(
+            T(fo["fo"]["user_oov_buckets"]["embedding"]))
+        rm.first_order_linear.item_oov_buckets.weight.copy_(
+            T(fo["fo"]["item_oov_buckets"]["embedding"]))
+        lin = [l for l in rm.mlp_layers.mlp_layers
+               if isinstance(l, torch.nn.Linear)]
+        for i, l in enumerate(lin):
+            l.weight.copy_(T(p["mlp_layers"][f"Dense_{i}"]["kernel"]).T)
+            l.bias.copy_(T(p["mlp_layers"][f"Dense_{i}"]["bias"]))
+        rm.deep_predict_layer.weight.copy_(
+            T(p["deep_predict_layer"]["kernel"]).T)
+        rm.deep_predict_layer.bias.copy_(T(p["deep_predict_layer"]["bias"]))
+
+    inter = {}
+    for f in ("user_id", "item_id", "is_new", "gender", "category"):
+        inter[f] = torch.tensor(batch[f])
+    for f in ("age", "price"):
+        inter[f] = torch.stack(
+            [torch.tensor(batch[f]),
+             torch.tensor(batch[f + "__bucket"], dtype=torch.float32)],
+            dim=1)
+    with torch.no_grad():
+        ref_out = rm.forward(inter).numpy()
+    our_out = np.asarray(om.apply(vs, ob, {}, method=om.forward))
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-5, atol=1e-6)
