@@ -689,3 +689,133 @@ def test_widedeep_context_routing_parity(ref_dataset_cls):
         ref_out = rm.forward(inter).numpy()
     our_out = np.asarray(om.apply(vs, ob, {}, method=om.forward))
     np.testing.assert_allclose(our_out, ref_out, rtol=1e-5, atol=1e-6)
+
+
+def test_dcnv2_cross_network_parity(ref_dataset_cls):
+    """DCNv2 (paper ranking model) cross-network + stacked MLP parity:
+    identical probabilities with shared weights vs the reference, OOV
+    rows routed through mapper buckets."""
+    RefConfig, RefDataset = ref_dataset_cls
+    import os
+    import warnings
+
+    import jax
+    import torch
+
+    from oovrec_tpu.config.configurator import Config
+    from oovrec_tpu.data.dataset import Dataset
+    from oovrec_tpu.inductive.mapper import RandomOOVMapper
+    from oovrec_tpu.inductive.spec import InductiveSpec
+    from oovrec_tpu.models import get_model_class
+    from oovrec_tpu.models.context import field_spec_from_dataset
+
+    common = {
+        "data_path": os.path.join(os.path.dirname(__file__), "assets"),
+        "load_col": {
+            "inter": ["user_id", "item_id", "rating", "timestamp", "is_new"],
+            "user": ["user_id", "age", "gender"],
+            "item": ["item_id", "price", "category"],
+        },
+        "embedding_size": 8,
+        "numerical_features": ["age", "price"],
+        "threshold": {"rating": 4},
+        "mlp_hidden_size": [16, 8],
+        "dropout_prob": 0.0,
+        "cross_layer_num": 2,
+        "structure": "stacked",
+        "mixed": False,
+        "reg_weight": 0.0,
+        "add_oov_buckets": True, "user_oov_buckets": 13,
+        "item_oov_buckets": 11, "oov_freeze_embedding": False,
+        "inductive_mapper": "random",
+        "oov_prime_pad": 112062759511,
+        "oov_hash_function": "64bit",
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rcfg = RefConfig(model="DCNV2", dataset="toy-ind",
+                         config_dict=dict(common))
+        rds = RefDataset(rcfg)
+        from recbole.inductive.random_mapper import RandomOOVInductiveMapper
+        from recbole.model.context_aware_recommender.dcnv2 import (
+            DCNV2 as RefDCN,
+        )
+
+        n_u, n_i = rds.user_num, rds.item_num
+        rmap = RandomOOVInductiveMapper(
+            np.zeros((n_u + 5, 1)), np.zeros((n_i + 5, 1)), n_u, n_i,
+            13, 11, 8, torch.device("cpu"), 112062759511, "64bit")
+        rmap.set_eval()
+        rm = RefDCN(rcfg, rds, inductive_mapper=rmap)
+        rm.eval()
+
+    oc = Config(config_dict=dict(common, model="DCNV2",
+                                 dataset="toy-ind"))
+    ods = Dataset(oc)
+    fs = field_spec_from_dataset(ods, oc)
+    spec = InductiveSpec(mapper="random", add_oov_buckets=True,
+                         n_user_buckets=13, n_item_buckets=11,
+                         embedding_size=8, hash_function="64bit")
+    om = get_model_class("DCNV2")(
+        fields=fs, spec=spec, embedding_size=8, mlp_hidden_size=(16, 8),
+        dropout_prob=0.0, cross_layer_num=2, structure="stacked",
+        mixed=False, reg_weight=0.0)
+
+    B = 5
+    batch = {
+        "user_id": np.array([1, 3, n_u + 2, 2, n_u + 9], np.int64),
+        "item_id": np.array([2, n_i + 4, 4, n_i + 1, 1], np.int64),
+        "is_new": np.array([1, 1, 2, 1, 2], np.int64),
+        "gender": np.array([1, 2, 1, 2, 1], np.int64),
+        "category": np.array([1, 3, 2, 1, 3], np.int64),
+        "age": np.array([0.5, 0.8, 0.2, 1.0, 0.3], np.float32),
+        "age__bucket": np.ones(B, np.int64),
+        "price": np.array([0.1, 0.9, 0.4, 0.6, 0.2], np.float32),
+        "price__bucket": np.ones(B, np.int64),
+        "label": np.zeros(B, np.float32),
+        "weight": np.ones(B, np.float32),
+    }
+    RandomOOVMapper(spec, n_u, n_i).annotate(batch, "user_id", "item_id")
+    ob = dict(batch)
+    ob["user_id"] = np.minimum(ob["user_id"], n_u - 1).astype(np.int32)
+    ob["item_id"] = np.minimum(ob["item_id"], n_i - 1).astype(np.int32)
+    vs = om.init(jax.random.key(0), ob, {}, method=om.calculate_loss)
+    p = vs["params"]
+
+    def T(x):
+        return torch.tensor(np.asarray(x))
+
+    with torch.no_grad():
+        rm.token_embedding_table.embedding.weight.copy_(
+            T(p["fields"]["token_embedding_table"]["embedding"]))
+        rm.float_embedding_table.embedding.weight.copy_(
+            T(p["fields"]["float_embedding_table"]["embedding"]))
+        rm.user_oov_buckets.weight.copy_(
+            T(p["fields"]["user_oov_buckets"]["embedding"]))
+        rm.item_oov_buckets.weight.copy_(
+            T(p["fields"]["item_oov_buckets"]["embedding"]))
+        # (first_order_linear exists on the reference base class but is
+        # unused by DCNV2.forward — no copy needed)
+        for i in range(2):
+            rm.cross_layer_w[i].copy_(T(p["cross_layer_w"][i]))
+            rm.bias[i].copy_(T(p["cross_bias"][i]).reshape(-1, 1))
+        lin = [l for l in rm.mlp_layers.mlp_layers
+               if isinstance(l, torch.nn.Linear)]
+        for i, l in enumerate(lin):
+            l.weight.copy_(T(p["mlp_layers"][f"Dense_{i}"]["kernel"]).T)
+            l.bias.copy_(T(p["mlp_layers"][f"Dense_{i}"]["bias"]))
+        rm.predict_layer.weight.copy_(T(p["predict_layer"]["kernel"]).T)
+        rm.predict_layer.bias.copy_(T(p["predict_layer"]["bias"]))
+
+    inter = {}
+    for f in ("user_id", "item_id", "is_new", "gender", "category"):
+        inter[f] = torch.tensor(batch[f])
+    for f in ("age", "price"):
+        inter[f] = torch.stack(
+            [torch.tensor(batch[f]),
+             torch.tensor(batch[f + "__bucket"], dtype=torch.float32)],
+            dim=1)
+    with torch.no_grad():
+        ref_out = rm.forward(inter).numpy()
+    our_out = np.asarray(om.apply(vs, ob, {}, method=om.predict))
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-5, atol=1e-6)
