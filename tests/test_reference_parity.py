@@ -819,3 +819,168 @@ def test_dcnv2_cross_network_parity(ref_dataset_cls):
         ref_out = rm.forward(inter).numpy()
     our_out = np.asarray(om.apply(vs, ob, {}, method=om.predict))
     np.testing.assert_allclose(our_out, ref_out, rtol=1e-5, atol=1e-6)
+
+
+def _context_parity_pair(ref_dataset_cls, model_name, cfg_extra, our_extra):
+    """Shared scaffolding: build reference + our context model on toy-ind
+    with a random 64bit mapper, init our params, return everything."""
+    RefConfig, RefDataset = ref_dataset_cls
+    import os
+    import warnings
+
+    import jax
+    import torch
+
+    from oovrec_tpu.config.configurator import Config
+    from oovrec_tpu.data.dataset import Dataset
+    from oovrec_tpu.inductive.mapper import RandomOOVMapper
+    from oovrec_tpu.inductive.spec import InductiveSpec
+    from oovrec_tpu.models import get_model_class
+    from oovrec_tpu.models.context import field_spec_from_dataset
+
+    common = {
+        "data_path": os.path.join(os.path.dirname(__file__), "assets"),
+        "load_col": {
+            "inter": ["user_id", "item_id", "rating", "timestamp", "is_new"],
+            "user": ["user_id", "age", "gender"],
+            "item": ["item_id", "price", "category"],
+        },
+        "embedding_size": 8,
+        "numerical_features": ["age", "price"],
+        "threshold": {"rating": 4},
+        "dropout_prob": 0.0,
+        "add_oov_buckets": True, "user_oov_buckets": 13,
+        "item_oov_buckets": 11, "oov_freeze_embedding": False,
+        "inductive_mapper": "random",
+        "oov_prime_pad": 112062759511,
+        "oov_hash_function": "64bit",
+    }
+    common.update(cfg_extra)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rcfg = RefConfig(model=model_name, dataset="toy-ind",
+                         config_dict=dict(common))
+        rds = RefDataset(rcfg)
+        from recbole.inductive.random_mapper import RandomOOVInductiveMapper
+        import importlib
+
+        mod = importlib.import_module(
+            f"recbole.model.context_aware_recommender.{model_name.lower()}")
+        RefCls = getattr(mod, model_name)
+        n_u, n_i = rds.user_num, rds.item_num
+        rmap = RandomOOVInductiveMapper(
+            np.zeros((n_u + 5, 1)), np.zeros((n_i + 5, 1)), n_u, n_i,
+            13, 11, 8, torch.device("cpu"), 112062759511, "64bit")
+        rmap.set_eval()
+        rm = RefCls(rcfg, rds, inductive_mapper=rmap)
+        rm.eval()
+
+    oc = Config(config_dict=dict(common, model=model_name,
+                                 dataset="toy-ind"))
+    ods = Dataset(oc)
+    fs = field_spec_from_dataset(ods, oc)
+    spec = InductiveSpec(mapper="random", add_oov_buckets=True,
+                         n_user_buckets=13, n_item_buckets=11,
+                         embedding_size=8, hash_function="64bit")
+    om = get_model_class(model_name)(
+        fields=fs, spec=spec, embedding_size=8, dropout_prob=0.0,
+        **our_extra)
+
+    B = 5
+    batch = {
+        "user_id": np.array([1, 3, n_u + 2, 2, n_u + 9], np.int64),
+        "item_id": np.array([2, n_i + 4, 4, n_i + 1, 1], np.int64),
+        "is_new": np.array([1, 1, 2, 1, 2], np.int64),
+        "gender": np.array([1, 2, 1, 2, 1], np.int64),
+        "category": np.array([1, 3, 2, 1, 3], np.int64),
+        "age": np.array([0.5, 0.8, 0.2, 1.0, 0.3], np.float32),
+        "age__bucket": np.ones(B, np.int64),
+        "price": np.array([0.1, 0.9, 0.4, 0.6, 0.2], np.float32),
+        "price__bucket": np.ones(B, np.int64),
+        "label": np.zeros(B, np.float32),
+        "weight": np.ones(B, np.float32),
+    }
+    RandomOOVMapper(spec, n_u, n_i).annotate(batch, "user_id", "item_id")
+    ob = dict(batch)
+    ob["user_id"] = np.minimum(ob["user_id"], n_u - 1).astype(np.int32)
+    ob["item_id"] = np.minimum(ob["item_id"], n_i - 1).astype(np.int32)
+    vs = om.init(jax.random.key(0), ob, {}, method=om.calculate_loss)
+
+    inter = {}
+    for f in ("user_id", "item_id", "is_new", "gender", "category"):
+        inter[f] = torch.tensor(batch[f])
+    for f in ("age", "price"):
+        inter[f] = torch.stack(
+            [torch.tensor(batch[f]),
+             torch.tensor(batch[f + "__bucket"], dtype=torch.float32)],
+            dim=1)
+    return rm, om, vs, ob, inter
+
+
+def _copy_context_tables(rm, p, with_fo=True):
+    import torch
+
+    def T(x):
+        return torch.tensor(np.asarray(x))
+
+    with torch.no_grad():
+        rm.token_embedding_table.embedding.weight.copy_(
+            T(p["fields"]["token_embedding_table"]["embedding"]))
+        rm.float_embedding_table.embedding.weight.copy_(
+            T(p["fields"]["float_embedding_table"]["embedding"]))
+        rm.user_oov_buckets.weight.copy_(
+            T(p["fields"]["user_oov_buckets"]["embedding"]))
+        rm.item_oov_buckets.weight.copy_(
+            T(p["fields"]["item_oov_buckets"]["embedding"]))
+        if with_fo:
+            fo = p["first_order_linear"]
+            rm.first_order_linear.bias.copy_(T(fo["bias"]))
+            rm.first_order_linear.token_embedding_table.embedding.weight.copy_(
+                T(fo["fo"]["token_embedding_table"]["embedding"]))
+            rm.first_order_linear.float_embedding_table.embedding.weight.copy_(
+                T(fo["fo"]["float_embedding_table"]["embedding"]))
+            rm.first_order_linear.user_oov_buckets.weight.copy_(
+                T(fo["fo"]["user_oov_buckets"]["embedding"]))
+            rm.first_order_linear.item_oov_buckets.weight.copy_(
+                T(fo["fo"]["item_oov_buckets"]["embedding"]))
+
+
+def test_xdeepfm_cin_parity(ref_dataset_cls):
+    """xDeepFM (paper ranking model): CIN outer-product maps + 1×1 conv
+    (ours: Dense over the pair axis) + MLP + first-order twin — identical
+    logits with shared weights, OOV rows bucket-routed."""
+    import torch
+
+    rm, om, vs, ob, inter = _context_parity_pair(
+        ref_dataset_cls, "xDeepFM",
+        {"cin_layer_size": [8, 8], "mlp_hidden_size": [16, 8],
+         "direct": False, "reg_weight": 0.0},
+        {"cin_layer_size": (8, 8), "mlp_hidden_size": (16, 8),
+         "direct": False, "reg_weight": 0.0},
+    )
+    p = vs["params"]
+    _copy_context_tables(rm, p, with_fo=True)
+
+    def T(x):
+        return torch.tensor(np.asarray(x))
+
+    with torch.no_grad():
+        for i, conv in enumerate(rm.conv1d_list):
+            # our Dense kernel (in, out) ↔ conv1d weight (out, in, 1)
+            conv.weight.copy_(
+                T(p[f"conv1d_{i}"]["kernel"]).T.unsqueeze(-1))
+            conv.bias.copy_(T(p[f"conv1d_{i}"]["bias"]))
+        rm.cin_linear.weight.copy_(T(p["cin_linear"]["kernel"]).T)
+        rm.cin_linear.bias.copy_(T(p["cin_linear"]["bias"]))
+        lin = [l for l in rm.mlp_layers.mlp_layers
+               if isinstance(l, torch.nn.Linear)]
+        for i, l in enumerate(lin):
+            l.weight.copy_(T(p["mlp_layers"][f"Dense_{i}"]["kernel"]).T)
+            l.bias.copy_(T(p["mlp_layers"][f"Dense_{i}"]["bias"]))
+
+    with torch.no_grad():
+        ref_out = rm.forward(inter).numpy()
+    import jax
+
+    our_out = np.asarray(om.apply(vs, ob, {}, method=om.forward))
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-5, atol=1e-6)
