@@ -984,3 +984,81 @@ def test_xdeepfm_cin_parity(ref_dataset_cls):
 
     our_out = np.asarray(om.apply(vs, ob, {}, method=om.forward))
     np.testing.assert_allclose(our_out, ref_out, rtol=1e-5, atol=1e-6)
+
+
+def test_directau_loss_parity(ref_dataset_cls):
+    """DirectAU (paper retrieval): alignment + γ·uniformity loss value
+    identical with shared weights on mixed in-vocab/OOV ids (pdist
+    semantics of `directau.py:80-99` preserved)."""
+    RefConfig, RefDataset = ref_dataset_cls
+    import os
+    import warnings
+
+    import jax
+    import torch
+
+    from oovrec_tpu.inductive.mapper import RandomOOVMapper
+    from oovrec_tpu.inductive.spec import InductiveSpec
+    from oovrec_tpu.models.directau import DirectAU
+
+    common = {
+        "data_path": os.path.join(os.path.dirname(__file__), "assets"),
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+        "embedding_size": 8,
+        "gamma": 0.5,
+        "add_oov_buckets": True, "user_oov_buckets": 13,
+        "item_oov_buckets": 11, "oov_freeze_embedding": False,
+        "seed": 2020,
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rcfg = RefConfig(model="DirectAU", dataset="toy",
+                         config_dict=dict(common))
+        rds = RefDataset(rcfg)
+        from recbole.inductive.random_mapper import RandomOOVInductiveMapper
+        from recbole.model.general_recommender.directau import (
+            DirectAU as RefDAU,
+        )
+
+        n_u, n_i = rds.user_num, rds.item_num
+        rmap = RandomOOVInductiveMapper(
+            np.zeros((n_u + 5, 1)), np.zeros((n_i + 5, 1)), n_u, n_i,
+            13, 11, 8, torch.device("cpu"), 112062759511, "64bit")
+        rmap.set_eval()
+        rm = RefDAU(rcfg, rds, inductive_mapper=rmap)
+        rm.eval()
+
+    spec = InductiveSpec(mapper="random", add_oov_buckets=True,
+                         n_user_buckets=13, n_item_buckets=11,
+                         embedding_size=8, hash_function="64bit")
+    om = DirectAU(n_users=n_u, n_items=n_i, embedding_size=8, spec=spec,
+                  gamma=0.5)
+    B = 6
+    batch = {
+        "user_id": np.array([1, 3, n_u + 2, 2, n_u + 9, 4], np.int64),
+        "item_id": np.array([2, n_i + 4, 4, n_i + 1, 1, 3], np.int64),
+        "weight": np.ones(B, np.float32),
+    }
+    RandomOOVMapper(spec, n_u, n_i).annotate(batch, "user_id", "item_id")
+    ob = dict(batch)
+    ob["user_id"] = np.minimum(ob["user_id"], n_u - 1).astype(np.int32)
+    ob["item_id"] = np.minimum(ob["item_id"], n_i - 1).astype(np.int32)
+    ob["neg_item_id"] = ob["item_id"]
+    batch_t = {"user_id": torch.tensor(batch["user_id"]),
+               "item_id": torch.tensor(batch["item_id"])}
+    vs = om.init(jax.random.key(0), ob, {}, method=om.calculate_loss)
+    p = vs["params"]
+
+    def T(x):
+        return torch.tensor(np.asarray(x))
+
+    with torch.no_grad():
+        rm.user_embedding.weight.copy_(T(p["user_embedding"]["embedding"]))
+        rm.item_embedding.weight.copy_(T(p["item_embedding"]["embedding"]))
+        rm.user_oov_buckets.weight.copy_(
+            T(p["user_oov_buckets"]["embedding"]))
+        rm.item_oov_buckets.weight.copy_(
+            T(p["item_oov_buckets"]["embedding"]))
+        expect = rm.calculate_loss(batch_t).item()
+    mine = float(om.apply(vs, ob, {}, method=om.calculate_loss))
+    assert abs(mine - expect) < 1e-5, (mine, expect)
