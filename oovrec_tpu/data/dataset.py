@@ -35,22 +35,30 @@ from oovrec_tpu.utils.seeding import host_rng
 
 
 def _parse_interval(s: Optional[str]):
-    """Parse '[A,B)' style interval strings into (lo, hi, lo_inc, hi_inc)."""
+    """Parse '[A,B)' style interval strings — incl. ';'-separated unions
+    like '(-inf,4);(4,inf)' (reference `_filter_by_field_value` regex,
+    `dataset.py:740-760`) — into a list of (lo, hi, lo_inc, hi_inc)."""
     if not s:
         return None
-    m = re.fullmatch(r"\s*([\[(])\s*([^,]+)\s*,\s*([^)\]]+)\s*([)\]])\s*", str(s))
-    if not m:
-        raise ValueError(f"Invalid interval: {s!r}")
-    lo = float(m.group(2))
-    hi = float(m.group(3))
-    return lo, hi, m.group(1) == "[", m.group(4) == "]"
+    parts = []
+    for piece in str(s).split(";"):
+        m = re.fullmatch(
+            r"\s*([\[(])\s*([^,]+)\s*,\s*([^)\]]+)\s*([)\]])\s*", piece
+        )
+        if not m:
+            raise ValueError(f"Invalid interval: {s!r}")
+        parts.append((float(m.group(2)), float(m.group(3)),
+                      m.group(1) == "[", m.group(4) == "]"))
+    return parts
 
 
-def _in_interval(x: np.ndarray, iv) -> np.ndarray:
-    lo, hi, lo_inc, hi_inc = iv
-    left = x >= lo if lo_inc else x > lo
-    right = x <= hi if hi_inc else x < hi
-    return left & right
+def _in_interval(x: np.ndarray, ivs) -> np.ndarray:
+    out = np.zeros(len(x), bool)
+    for lo, hi, lo_inc, hi_inc in ivs:
+        left = x >= lo if lo_inc else x > lo
+        right = x <= hi if hi_inc else x < hi
+        out |= left & right
+    return out
 
 
 class Dataset:

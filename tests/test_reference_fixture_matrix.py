@@ -1,0 +1,104 @@
+"""Differential data-pipeline tests ON THE REFERENCE'S OWN micro
+fixtures (`RecBole/tests/data/<case>/`): the reference Dataset and ours
+run the same config over the same atomic files; row counts and vocab
+sizes must agree. Mirrors the upstream test matrix
+(`tests/data/test_dataset.py`)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/RecBole"
+FIXDIR = os.path.join(REF, "tests", "data")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FIXDIR), reason="reference checkout not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_env():
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_reference_parity import ref_metrics, ref_dataset_cls  # noqa
+
+    # reuse the shim logic by invoking the fixtures' bodies directly
+    import types
+
+    for name in ("colorlog", "thop", "ray", "hyperopt", "texttable"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["colorlog"].ColoredFormatter = object
+    sys.modules["texttable"].Texttable = object
+    tb = types.ModuleType("torch.utils.tensorboard")
+    tb.SummaryWriter = object
+    sys.modules["torch.utils.tensorboard"] = tb
+    for alias, typ in (("float", float), ("int", int), ("bool", bool)):
+        if not hasattr(np, alias):
+            setattr(np, alias, typ)
+    np.float_ = np.float64
+    np.complex_ = np.complex128
+    np.unicode_ = np.str_
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import logging
+
+    logging.disable(logging.CRITICAL)
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    from recbole.config import Config as RefConfig
+    from recbole.data.dataset import Dataset as RefDataset
+
+    return RefConfig, RefDataset
+
+
+CASES = [
+    ("filter_nan_user_or_item", {}),
+    ("remove_duplication", {"rm_dup_inter": "first"}),
+    ("remove_duplication", {"rm_dup_inter": "last"}),
+    ("filter_by_field_value", {"val_interval": {"timestamp": "[4,inf)"}}),
+    ("filter_by_field_value", {"val_interval": {"timestamp": "(-inf,4]"}}),
+    ("filter_by_field_value", {"val_interval": {"rating": "[0,0]"}}),
+    ("filter_by_field_value",
+     {"val_interval": {"rating": "(-inf,4);(4,inf)"}}),
+    ("filter_by_field_value",
+     {"val_interval": {"timestamp": "[3,8]",
+                       "rating": "(-inf,4);(4,inf)"}}),
+    ("filter_inter_by_user_or_item",
+     {"filter_inter_by_user_or_item": True}),
+    ("filter_inter_by_user_or_item",
+     {"filter_inter_by_user_or_item": False}),
+    ("filter_by_inter_num", {"user_inter_num_interval": "[2,inf)"}),
+    ("filter_by_inter_num", {"item_inter_num_interval": "[2,inf)"}),
+    ("filter_by_inter_num", {"user_inter_num_interval": "[2,inf)",
+                             "item_inter_num_interval": "[2,inf)"}),
+    ("rm_dup_and_filter_value",
+     {"rm_dup_inter": "first", "val_interval": {"rating": "[1,inf)"}}),
+    # remap_id: the reference itself fails on this fixture under
+    # pandas 2.x (empty token_seq cell reads as NaN) — covered by the
+    # toy-fixture remap parity instead.
+    ("set_label_by_threshold", {"threshold": {"rating": 4}}),
+]
+
+
+@pytest.mark.parametrize("case,extra", CASES)
+def test_fixture_matrix(ref_env, case, extra):
+    RefConfig, RefDataset = ref_env
+    from oovrec_tpu.config.configurator import Config
+    from oovrec_tpu.data.dataset import Dataset
+
+    cfg = {"data_path": FIXDIR, "load_col": None, **extra}
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rds = RefDataset(RefConfig(model="BPR", dataset=case,
+                                   config_dict=dict(cfg)))
+    ods = Dataset(Config(config_dict=dict(cfg, model="BPR", dataset=case)))
+    assert len(rds.inter_feat) == len(ods.inter_feat), "inter rows differ"
+    assert rds.user_num == ods.user_num
+    assert rds.item_num == ods.item_num
+    # token maps agree wherever both define the field
+    for f in ("user_id", "item_id"):
+        assert list(rds.field2id_token[f]) == list(ods.field2id_token[f])
