@@ -215,37 +215,28 @@ class Dataset:
                 subset=[self.uid_field, self.iid_field], keep=rm_dup
             )
 
+        # value filter applies to EVERY table holding the field — inter
+        # rows drop directly; user/item feature rows drop, and their
+        # interactions go in the ui-filter step (`dataset.py:744-790`)
         val_interval = self.config["val_interval"]
         if val_interval:
             for field, iv_s in val_interval.items():
+                iv = _parse_interval(iv_s)
                 if field in inter.columns:
-                    iv = _parse_interval(iv_s)
                     inter = inter[_in_interval(inter[field].values, iv)]
+                if (self.user_feat is not None
+                        and field in self.user_feat.columns):
+                    self.user_feat = self.user_feat[
+                        _in_interval(self.user_feat[field].values, iv)
+                    ].reset_index(drop=True)
+                if (self.item_feat is not None
+                        and field in self.item_feat.columns):
+                    self.item_feat = self.item_feat[
+                        _in_interval(self.item_feat[field].values, iv)
+                    ].reset_index(drop=True)
 
-        # iterative k-core on interaction counts
-        u_iv = _parse_interval(self.config["user_inter_num_interval"])
-        i_iv = _parse_interval(self.config["item_inter_num_interval"])
-        if (
-            self.uid_field in inter.columns
-            and self.iid_field in inter.columns
-            and (u_iv or i_iv)
-        ):
-            while True:
-                n = len(inter)
-                if u_iv:
-                    cnt = inter.groupby(self.uid_field)[self.uid_field].transform(
-                        "size"
-                    )
-                    inter = inter[_in_interval(cnt.values, u_iv)]
-                if i_iv:
-                    cnt = inter.groupby(self.iid_field)[self.iid_field].transform(
-                        "size"
-                    )
-                    inter = inter[_in_interval(cnt.values, i_iv)]
-                if len(inter) == n:
-                    break
-
-        # drop interactions whose user/item has no feature row
+        # drop interactions whose user/item has no feature row — BEFORE
+        # k-core, matching the reference order (`dataset.py:205-210`)
         if self.config["filter_inter_by_user_or_item"]:
             if self.user_feat is not None:
                 inter = inter[
@@ -254,6 +245,50 @@ class Dataset:
             if self.item_feat is not None:
                 inter = inter[
                     inter[self.iid_field].isin(self.item_feat[self.iid_field].values)
+                ]
+
+        # iterative k-core on interaction counts. Banned ids also drop
+        # from the FEATURE tables (so they leave the vocab), and
+        # feature-only ids with zero interactions count as banned when
+        # the interval excludes 0 (`dataset.py:928-985`).
+        u_iv = _parse_interval(self.config["user_inter_num_interval"])
+        i_iv = _parse_interval(self.config["item_inter_num_interval"])
+        if (
+            self.uid_field in inter.columns
+            and self.iid_field in inter.columns
+            and (u_iv or i_iv)
+        ):
+            def banned(field, feat, iv):
+                if not iv:
+                    return set()
+                counts = inter[field].value_counts()
+                ids = set(counts.index[
+                    ~_in_interval(counts.values.astype(np.float64), iv)
+                ])
+                if feat is not None and field in feat.columns:
+                    zero = set(feat[field].values) - set(counts.index)
+                    if zero and not _in_interval(
+                        np.zeros(1), iv
+                    )[0]:
+                        ids |= zero
+                return ids
+
+            while True:
+                ban_u = banned(self.uid_field, self.user_feat, u_iv)
+                ban_i = banned(self.iid_field, self.item_feat, i_iv)
+                if not ban_u and not ban_i:
+                    break
+                if self.user_feat is not None and ban_u:
+                    self.user_feat = self.user_feat[
+                        ~self.user_feat[self.uid_field].isin(ban_u)
+                    ].reset_index(drop=True)
+                if self.item_feat is not None and ban_i:
+                    self.item_feat = self.item_feat[
+                        ~self.item_feat[self.iid_field].isin(ban_i)
+                    ].reset_index(drop=True)
+                inter = inter[
+                    ~inter[self.uid_field].isin(ban_u)
+                    & ~inter[self.iid_field].isin(ban_i)
                 ]
 
         self.inter_feat = inter.reset_index(drop=True)

@@ -79,6 +79,22 @@ CASES = [
     # pandas 2.x (empty token_seq cell reads as NaN) — covered by the
     # toy-fixture remap parity instead.
     ("set_label_by_threshold", {"threshold": {"rating": 4}}),
+    ("rm_dup_and_filter_by_inter_num",
+     {"rm_dup_inter": "first",
+      "user_inter_num_interval": "[2,inf)",
+      "item_inter_num_interval": "[2,inf)"}),
+    ("filter_value_and_filter_inter_by_ui",
+     {"val_interval": {"age": "(-inf,2]", "price": "(-inf,2);(2,inf)"},
+      "filter_inter_by_user_or_item": True}),
+    ("filter_value_and_inter_num",
+     {"val_interval": {"rating": "(-inf,0]", "age": "(-inf,0]",
+                       "price": "(-inf,0]"},
+      "user_inter_num_interval": "[2,inf)",
+      "item_inter_num_interval": "[2,inf)"}),
+    ("filter_inter_by_ui_and_inter_num",
+     {"filter_inter_by_user_or_item": True,
+      "user_inter_num_interval": "[2,inf)",
+      "item_inter_num_interval": "[2,inf)"}),
 ]
 
 
