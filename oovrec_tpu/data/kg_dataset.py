@@ -50,6 +50,68 @@ class KnowledgeBasedDataset(Dataset):
             self.field2type[f] = t
         self.link_df, _ = load_atomic_file(link_path, sep, seq_sep)
 
+    # ------------------------------------------------------------ filtering
+
+    def _data_filtering(self) -> None:
+        super()._data_filtering()
+        self._filter_kg_by_triple_num()
+        self._filter_link()
+
+    def _filter_kg_by_triple_num(self) -> None:
+        """Entity/relation k-core over triples
+        (`kg_dataset.py:97-166`)."""
+        from oovrec_tpu.data.dataset import _in_interval, _parse_interval
+
+        e_iv = _parse_interval(self.config["entity_kg_num_interval"])
+        r_iv = _parse_interval(self.config["relation_kg_num_interval"])
+        if not e_iv and not r_iv:
+            return
+        kg = self.kg_feat
+        import numpy as np
+
+        while True:
+            n = len(kg)
+            if e_iv:
+                import pandas as pd
+
+                cnt = pd.concat(
+                    [kg[self.head_field], kg[self.tail_field]]
+                ).value_counts()
+                bad = set(cnt.index[
+                    ~_in_interval(cnt.values.astype(np.float64), e_iv)
+                ])
+                if bad:
+                    kg = kg[~kg[self.head_field].isin(bad)
+                            & ~kg[self.tail_field].isin(bad)]
+            if r_iv:
+                cnt = kg[self.relation_field].value_counts()
+                bad = set(cnt.index[
+                    ~_in_interval(cnt.values.astype(np.float64), r_iv)
+                ])
+                if bad:
+                    kg = kg[~kg[self.relation_field].isin(bad)]
+            if len(kg) == n:
+                break
+        self.kg_feat = kg.reset_index(drop=True)
+
+    def _filter_link(self) -> None:
+        """Drop link rows whose entity is not in the KG or item not in
+        the interactions; then — fork behavior — drop interaction rows
+        whose item has NO entity link (`kg_dataset.py:168-188`)."""
+        ents = set(self.kg_feat[self.head_field].astype(str)) | set(
+            self.kg_feat[self.tail_field].astype(str)
+        )
+        items = set(self.inter_feat[self.iid_field].astype(str))
+        ld = self.link_df
+        keep = ld[self.entity_field].astype(str).isin(ents) & ld[
+            self.iid_field
+        ].astype(str).isin(items)
+        self.link_df = ld[keep].reset_index(drop=True)
+        linked = set(self.link_df[self.iid_field].astype(str))
+        self.inter_feat = self.inter_feat[
+            self.inter_feat[self.iid_field].astype(str).isin(linked)
+        ].reset_index(drop=True)
+
     def _remap_id_all(self) -> None:
         # items first (standard remap incl. users/other fields)
         super()._remap_id_all()
@@ -82,14 +144,32 @@ class KnowledgeBasedDataset(Dataset):
             [ent2id[t] for t in tails], np.int64
         )
 
-        # relation space: PAD 0, + trailing [UI-Relation]
+        # relation space: PAD 0, originals, optional reversed copies
+        # (`kg_reverse_r`, reference `_add_auxiliary_relation`
+        # `kg_dataset.py:366-397`: reversed id = original + n_originals),
+        # trailing [UI-Relation]
         rels = self.kg_feat[self.relation_field].values.astype(str)
         uniq, inv = np.unique(rels, return_inverse=True)
         self.kg_feat[self.relation_field] = inv + 1
-        self.field2id_token[self.relation_field] = np.array(
-            ["[PAD]"] + list(uniq) + ["[UI-Relation]"]
-        )
-        self.relation_num = len(uniq) + 2
+        vocab = ["[PAD]"] + list(uniq)
+        if self.config["kg_reverse_r"]:
+            n_orig = len(uniq)
+            rev = pd.DataFrame({
+                self.head_field: self.kg_feat[self.tail_field].values,
+                self.relation_field:
+                    self.kg_feat[self.relation_field].values + n_orig,
+                self.tail_field: self.kg_feat[self.head_field].values,
+            })
+            self.kg_feat = pd.concat(
+                [self.kg_feat, rev], ignore_index=True
+            )
+            vocab += [t + "_r" for t in uniq]
+        vocab.append("[UI-Relation]")
+        self.field2id_token[self.relation_field] = np.array(vocab)
+        self.field2token_id[self.relation_field] = {
+            t: i for i, t in enumerate(vocab)
+        }
+        self.relation_num = len(vocab)
 
     @property
     def kg_triples(self):

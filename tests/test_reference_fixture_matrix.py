@@ -118,3 +118,53 @@ def test_fixture_matrix(ref_env, case, extra):
     # token maps agree wherever both define the field
     for f in ("user_id", "item_id"):
         assert list(rds.field2id_token[f]) == list(ods.field2id_token[f])
+
+
+def _build_kg_pair(ref_env, case, extra):
+    RefConfig, _ = ref_env
+    import warnings
+
+    from recbole.data.dataset import KnowledgeBasedDataset as RefKG
+
+    from oovrec_tpu.config.configurator import Config
+    from oovrec_tpu.data.kg_dataset import KnowledgeBasedDataset
+
+    cfg = {"data_path": FIXDIR, "load_col": None, **extra}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rds = RefKG(RefConfig(model="KGAT", dataset=case,
+                              config_dict=dict(cfg)))
+    ods = KnowledgeBasedDataset(
+        Config(config_dict=dict(cfg, model="KGAT", dataset=case)))
+    return rds, ods
+
+
+KG_CASES = [
+    ("kg_remap_id", {}),
+    ("kg_reverse_r", {"kg_reverse_r": True}),
+    ("kg_filter_by_triple_num", {"entity_kg_num_interval": "[2,inf)"}),
+    ("kg_filter_by_triple_num", {"relation_kg_num_interval": "[2,inf)"}),
+]
+
+
+@pytest.mark.parametrize("case,extra", KG_CASES)
+def test_kg_fixture_matrix(ref_env, case, extra):
+    rds, ods = _build_kg_pair(ref_env, case, extra)
+    assert len(rds.inter_feat) == len(ods.inter_feat)
+    assert rds.user_num == ods.user_num
+    assert rds.item_num == ods.item_num
+    assert rds.entity_num == ods.entity_num
+    assert rds.relation_num == ods.relation_num
+    assert list(rds.field2id_token["relation_id"]) == list(
+        ods.field2id_token["relation_id"])
+    # triples agree as sets (row order may differ after filtering)
+    rh = rds.kg_feat["head_id"].numpy() if hasattr(
+        rds.kg_feat, "numpy") else rds.kg_feat["head_id"]
+    ref_triples = sorted(zip(
+        np.asarray(rds.kg_feat["head_id"]).tolist(),
+        np.asarray(rds.kg_feat["relation_id"]).tolist(),
+        np.asarray(rds.kg_feat["tail_id"]).tolist(),
+    ))
+    h, r, t = ods.kg_triples
+    our_triples = sorted(zip(h.tolist(), r.tolist(), t.tolist()))
+    assert ref_triples == our_triples
