@@ -168,3 +168,28 @@ def test_kg_fixture_matrix(ref_env, case, extra):
     h, r, t = ods.kg_triples
     our_triples = sorted(zip(h.tolist(), r.tolist(), t.tolist()))
     assert ref_triples == our_triples
+
+
+@pytest.mark.parametrize("extra", [
+    {"normalize_all": True},
+    {"normalize_field": ["rating"], "normalize_all": False},
+])
+def test_normalize_fixture(ref_env, extra):
+    RefConfig, RefDataset = ref_env
+    import warnings
+
+    from oovrec_tpu.config.configurator import Config
+    from oovrec_tpu.data.dataset import Dataset
+
+    cfg = {"data_path": FIXDIR, "load_col": None, **extra}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rds = RefDataset(RefConfig(model="BPR", dataset="normalize",
+                                   config_dict=dict(cfg)))
+    ods = Dataset(Config(config_dict=dict(cfg, model="BPR",
+                                          dataset="normalize")))
+    for f in ("rating", "star"):
+        np.testing.assert_allclose(
+            np.asarray(ods.inter_feat[f], np.float64),
+            np.asarray(rds.inter_feat[f], np.float64), rtol=1e-12,
+        )
