@@ -102,10 +102,19 @@ class Config:
         else:
             self._load_yaml(path)
 
+    # keys whose dict value REPLACES the default instead of deep-merging:
+    # a user-provided eval split {'LS': ...} must not inherit the default
+    # {'RS': [...]} sibling (the strategy key is exclusive)
+    _REPLACE_KEYS = frozenset({"split"})
+
     @staticmethod
     def _deep_update(base: Dict[str, Any], upd: Dict[str, Any]) -> None:
         for k, v in upd.items():
-            if isinstance(v, dict) and isinstance(base.get(k), dict):
+            if (
+                isinstance(v, dict)
+                and isinstance(base.get(k), dict)
+                and k not in Config._REPLACE_KEYS
+            ):
                 Config._deep_update(base[k], v)
             else:
                 base[k] = v

@@ -193,3 +193,38 @@ def test_normalize_fixture(ref_env, extra):
             np.asarray(ods.inter_feat[f], np.float64),
             np.asarray(rds.inter_feat[f], np.float64), rtol=1e-12,
         )
+
+
+@pytest.mark.parametrize("split,order", [
+    ({"RS": [0.8, 0.1, 0.1]}, "TO"),
+    ({"RS": [0.8, 0.2, 0.0]}, "TO"),
+    ({"RS": [0.8, 0.0, 0.2]}, "TO"),
+    ({"RS": [0.88, 0.02, 0.1]}, "TO"),   # the paper's split ratios
+    ({"LS": "valid_and_test"}, "TO"),
+])
+def test_build_split_fixture(ref_env, split, order):
+    """Split building on the reference's build_dataset fixture: per-split
+    (user, item) rows identical under deterministic TO ordering."""
+    RefConfig, RefDataset = ref_env
+    import warnings
+
+    from oovrec_tpu.config.configurator import Config
+    from oovrec_tpu.data.dataset import Dataset
+
+    cfg = {"data_path": FIXDIR, "load_col": None,
+           "eval_args": {"split": split, "order": order, "mode": "labeled",
+                         "group_by": "user"}}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rds = RefDataset(RefConfig(model="BPR", dataset="build_dataset",
+                                   config_dict=dict(cfg)))
+        rsplits = rds.build()
+    ods = Dataset(Config(config_dict=dict(cfg, model="BPR",
+                                          dataset="build_dataset")))
+    osplits = ods.build()
+    for r, o in zip(rsplits, osplits):
+        rr = list(zip(np.asarray(r.inter_feat["user_id"]).tolist(),
+                      np.asarray(r.inter_feat["item_id"]).tolist()))
+        oo = list(zip(o.inter["user_id"].tolist(),
+                      o.inter["item_id"].tolist()))
+        assert sorted(rr) == sorted(oo)
