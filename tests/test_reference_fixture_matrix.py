@@ -228,3 +228,72 @@ def test_build_split_fixture(ref_env, split, order):
         oo = list(zip(o.inter["user_id"].tolist(),
                       o.inter["item_id"].tolist()))
         assert sorted(rr) == sorted(oo)
+
+
+def test_full_sort_dataloader_parity(ref_env):
+    """Full-sort eval loader contents on the reference's own fixture:
+    per-user history and positive sets identical to the reference
+    FullSortEvalDataLoader for valid and test phases."""
+    RefConfig, _ = ref_env
+    import warnings
+
+    cfg = {
+        "model": "BPR", "dataset": "general_full_dataloader",
+        "data_path": FIXDIR, "load_col": None,
+        "train_neg_sample_args": {"distribution": "uniform",
+                                  "sample_num": 1},
+        "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "TO",
+                      "mode": "full"},
+        "train_batch_size": 6, "eval_batch_size": 100,
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        from recbole.config import Config as RefConfig2
+        from recbole.data.utils import create_dataset as ref_create
+        from recbole.data.utils import data_preparation as ref_prep
+
+        rcfg = RefConfig2(model="BPR", dataset="general_full_dataloader",
+                          config_dict=dict(cfg))
+        rds = ref_create(rcfg)
+        _, rvalid, rtest = ref_prep(rcfg, rds)
+
+    import jax
+
+    from oovrec_tpu.config.configurator import Config
+    from oovrec_tpu.data.utils import create_dataset, data_preparation
+
+    oc = Config(config_dict=dict(cfg))
+    ods = create_dataset(oc)
+    _, ovalid, otest = data_preparation(oc, ods)
+
+    def ref_maps(loader):
+        hist, pos = {}, {}
+        for user_df, history_index, positive_u, positive_i in loader:
+            users = user_df["user_id"].numpy()
+            hr, hc = history_index
+            hr, hc = hr.numpy(), hc.numpy()
+            pu, pi = positive_u.numpy(), positive_i.numpy()
+            for j, u in enumerate(users):
+                hist[int(u)] = set(hc[hr == j].tolist())
+                pos[int(u)] = set(pi[pu == j].tolist())
+        return hist, pos
+
+    def our_maps(loader):
+        hist, pos = {}, {}
+        for b in loader:
+            for j, u in enumerate(np.asarray(b["user_id"])):
+                if b["weight"][j] == 0:
+                    continue
+                hl = int(b["hist_len"][j])
+                pl = int(b["pos_len"][j])
+                hist[int(u)] = set(
+                    np.asarray(b["hist_items"][j][:hl]).tolist())
+                pos[int(u)] = set(
+                    np.asarray(b["pos_items"][j][:pl]).tolist())
+        return hist, pos
+
+    for rl, ol in ((rvalid, ovalid), (rtest, otest)):
+        rh, rp = ref_maps(rl)
+        oh, op = our_maps(ol)
+        assert rp == op, "positive sets differ"
+        assert rh == oh, "history sets differ"
