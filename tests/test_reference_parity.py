@@ -1062,3 +1062,93 @@ def test_directau_loss_parity(ref_dataset_cls):
         expect = rm.calculate_loss(batch_t).item()
     mine = float(om.apply(vs, ob, {}, method=om.calculate_loss))
     assert abs(mine - expect) < 1e-5, (mine, expect)
+
+
+def test_gru4rec_forward_parity(ref_dataset_cls):
+    """Sequential-family parity: GRU4Rec seq_output identical with shared
+    weights (torch GRU gates mapped onto the scanned flax GRUCell —
+    r/z biases summed, n-gate biases kept separate)."""
+    RefConfig, _ = ref_dataset_cls
+    import os
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from oovrec_tpu.models import get_model_class
+
+    common = {
+        "data_path": os.path.join(os.path.dirname(__file__), "assets"),
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+        "embedding_size": 8,
+        "hidden_size": 12,
+        "num_layers": 1,
+        "dropout_prob": 0.0,
+        "MAX_ITEM_LIST_LENGTH": 6,
+        "train_neg_sample_args": None,
+        "eval_args": {"split": {"LS": "valid_and_test"}, "order": "TO",
+                      "group_by": "user", "mode": "full"},
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        from recbole.data.dataset import SequentialDataset as RefSeq
+        from recbole.model.sequential_recommender.gru4rec import (
+            GRU4Rec as RefGRU,
+        )
+
+        rcfg = RefConfig(model="GRU4Rec", dataset="toy",
+                         config_dict=dict(common))
+        rds = RefSeq(rcfg)
+        rm = RefGRU(rcfg, rds)
+        rm.eval()
+
+    n_items = rds.item_num
+    om = get_model_class("GRU4Rec")(
+        n_users=rds.user_num, n_items=n_items, embedding_size=8,
+        hidden_size=12, num_layers=1, dropout_prob=0.0, max_seq_length=6)
+    B, L = 4, 6
+    rng = np.random.default_rng(3)
+    seq = rng.integers(1, n_items, (B, L)).astype(np.int64)
+    lengths = np.array([2, 6, 4, 1], np.int64)
+    for i in range(B):
+        seq[i, lengths[i]:] = 0
+    batch = {"item_id_list": jnp.asarray(seq),
+             "item_length": jnp.asarray(lengths),
+             "item_id": jnp.asarray(seq[:, 0]),
+             "weight": jnp.ones((B,))}
+    vs = om.init({"params": jax.random.key(0),
+                  "dropout": jax.random.key(1)}, batch,
+                 method=om.calculate_loss)
+    p = vs["params"]
+
+    def T(x):
+        return torch.tensor(np.asarray(x))
+
+    with torch.no_grad():
+        rm.item_embedding.weight.copy_(
+            T(p["item_embedding"]["embedding"]))
+        rm.dense.weight.copy_(T(p["dense"]["kernel"]).T)
+        rm.dense.bias.copy_(T(p["dense"]["bias"]))
+        g = p["gru_0"]["cell"] if "cell" in p.get("gru_0", {}) else p["gru_0"]
+        W_ih = np.concatenate([
+            np.asarray(g["ir"]["kernel"]).T,
+            np.asarray(g["iz"]["kernel"]).T,
+            np.asarray(g["in"]["kernel"]).T], 0)
+        W_hh = np.concatenate([
+            np.asarray(g["hr"]["kernel"]).T,
+            np.asarray(g["hz"]["kernel"]).T,
+            np.asarray(g["hn"]["kernel"]).T], 0)
+        rm.gru_layers.weight_ih_l0.copy_(T(W_ih))
+        rm.gru_layers.weight_hh_l0.copy_(T(W_hh))
+        # the reference GRU is bias-free (`gru4rec.py:57`); zero ours
+        import jax.numpy as _jnp
+
+        for gate in ("ir", "iz", "in", "hn"):
+            p["gru_0"][gate]["bias"] = _jnp.zeros_like(
+                p["gru_0"][gate]["bias"])
+        ref_out = rm.forward(torch.tensor(seq),
+                             torch.tensor(lengths)).numpy()
+    vs = {"params": p}
+    mine = np.asarray(om.apply(vs, batch, method=om.seq_output))
+    np.testing.assert_allclose(mine, ref_out, rtol=1e-5, atol=1e-6)
