@@ -297,3 +297,73 @@ def test_full_sort_dataloader_parity(ref_env):
         oh, op = our_maps(ol)
         assert rp == op, "positive sets differ"
         assert rh == oh, "history sets differ"
+
+
+def test_uni100_dataloader_structure_parity(ref_env):
+    """uni100 (sampled-negative) eval loader STRUCTURE on the reference's
+    fixture: same users, same positive sets, and 100 negatives per
+    positive row (sampled ids differ — RNG streams are framework-local)."""
+    RefConfig, _ = ref_env
+    import warnings
+
+    cfg = {
+        "model": "BPR", "dataset": "general_uni100_dataloader",
+        "data_path": FIXDIR, "load_col": None,
+        "train_neg_sample_args": {"distribution": "uniform",
+                                  "sample_num": 1},
+        "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "TO",
+                      "mode": "uni100"},
+        "train_batch_size": 6, "eval_batch_size": 101,
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        from recbole.config import Config as RefConfig2
+        from recbole.data.utils import create_dataset as ref_create
+        from recbole.data.utils import data_preparation as ref_prep
+
+        rcfg = RefConfig2(model="BPR",
+                          dataset="general_uni100_dataloader",
+                          config_dict=dict(cfg))
+        _, rvalid, rtest = ref_prep(rcfg, ref_create(rcfg))
+
+    from oovrec_tpu.config.configurator import Config
+    from oovrec_tpu.data.utils import create_dataset, data_preparation
+
+    oc = Config(config_dict=dict(cfg))
+    _, ovalid, otest = data_preparation(oc, create_dataset(oc))
+
+    def ref_struct(loader):
+        pos, rows = {}, {}
+        for user_df, row_idx, positive_u, positive_i in loader:
+            users = user_df["user_id"].numpy()
+            items = user_df["item_id"].numpy()
+            pu, pi = positive_u.numpy(), positive_i.numpy()
+            uniq = np.unique(users)
+            for u in uniq:
+                rows[int(u)] = rows.get(int(u), 0) + int(
+                    (users == u).sum())
+            # positive_u indexes the batch's unique-user order
+            uorder = list(dict.fromkeys(users.tolist()))
+            for j, i in zip(pu.tolist(), pi.tolist()):
+                pos.setdefault(int(uorder[j]), set()).add(int(i))
+        return pos, rows
+
+    def our_struct(loader):
+        pos, rows = {}, {}
+        for b in loader:
+            users = np.asarray(b["user_id"])
+            w = np.asarray(b["weight"]) > 0
+            lab = np.asarray(b["label"])
+            for u in np.unique(users[w]):
+                m = w & (users == u)
+                rows[int(u)] = rows.get(int(u), 0) + int(m.sum())
+                ppos = np.asarray(b["item_id"])[m & (lab > 0)]
+                pos.setdefault(int(u), set()).update(
+                    int(x) for x in ppos)
+        return pos, rows
+
+    for rl, ol in ((rvalid, ovalid), (rtest, otest)):
+        rp, rr = ref_struct(rl)
+        op, orows = our_struct(ol)
+        assert rp == op, "positive sets differ"
+        assert rr == orows, "per-user candidate row counts differ"
