@@ -1152,3 +1152,46 @@ def test_gru4rec_forward_parity(ref_dataset_cls):
     vs = {"params": p}
     mine = np.asarray(om.apply(vs, batch, method=om.seq_output))
     np.testing.assert_allclose(mine, ref_out, rtol=1e-5, atol=1e-6)
+
+
+def test_dcnv2_mixed_moe_parity(ref_dataset_cls):
+    """DCN-mix (MoE low-rank cross, `dcnv2.py:146-213`): identical
+    probabilities with shared expert/gating weights."""
+    import torch
+
+    rm, om, vs, ob, inter = _context_parity_pair(
+        ref_dataset_cls, "DCNV2",
+        {"mlp_hidden_size": [16, 8], "cross_layer_num": 2,
+         "structure": "stacked", "mixed": True, "expert_num": 2,
+         "low_rank": 4, "reg_weight": 0.0},
+        {"mlp_hidden_size": (16, 8), "cross_layer_num": 2,
+         "structure": "stacked", "mixed": True, "expert_num": 2,
+         "low_rank": 4, "reg_weight": 0.0},
+    )
+    p = vs["params"]
+    _copy_context_tables(rm, p, with_fo=False)
+
+    def T(x):
+        return torch.tensor(np.asarray(x))
+
+    with torch.no_grad():
+        for i in range(2):
+            rm.cross_layer_u[i].copy_(T(p["cross_layer_u"][i]))
+            rm.cross_layer_v[i].copy_(T(p["cross_layer_v"][i]))
+            rm.cross_layer_c[i].copy_(T(p["cross_layer_c"][i]))
+            rm.bias[i].copy_(T(p["cross_bias"][i]).reshape(-1, 1))
+        for e in range(2):
+            rm.gating[e].weight.copy_(
+                T(p[f"gating_{e}"]["kernel"]).T)
+            if rm.gating[e].bias is not None:
+                rm.gating[e].bias.copy_(T(p[f"gating_{e}"]["bias"]))
+        lin = [l for l in rm.mlp_layers.mlp_layers
+               if isinstance(l, torch.nn.Linear)]
+        for i, l in enumerate(lin):
+            l.weight.copy_(T(p["mlp_layers"][f"Dense_{i}"]["kernel"]).T)
+            l.bias.copy_(T(p["mlp_layers"][f"Dense_{i}"]["bias"]))
+        rm.predict_layer.weight.copy_(T(p["predict_layer"]["kernel"]).T)
+        rm.predict_layer.bias.copy_(T(p["predict_layer"]["bias"]))
+        ref_out = rm.forward(inter).numpy()
+    our_out = np.asarray(om.apply(vs, ob, {}, method=om.predict))
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-5, atol=1e-6)
