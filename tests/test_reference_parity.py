@@ -1195,3 +1195,84 @@ def test_dcnv2_mixed_moe_parity(ref_dataset_cls):
         ref_out = rm.forward(inter).numpy()
     our_out = np.asarray(om.apply(vs, ob, {}, method=om.predict))
     np.testing.assert_allclose(our_out, ref_out, rtol=1e-5, atol=1e-6)
+
+
+def test_lightgcn_propagation_parity(ref_dataset_cls):
+    """Graph-family parity: LightGCN full-sort scores identical with
+    shared ego embeddings — our segment-sum propagation over normalized
+    bipartite edges ≡ the reference's sparse Â matmul."""
+    RefConfig, RefDataset = ref_dataset_cls
+    import os
+    import warnings
+
+    import jax
+    import torch
+
+    from oovrec_tpu.models import get_model_class
+
+    common = {
+        "data_path": os.path.join(os.path.dirname(__file__), "assets"),
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+        "embedding_size": 8,
+        "n_layers": 2,
+        "reg_weight": 1e-5,
+        "train_neg_sample_args": {"distribution": "uniform",
+                                  "sample_num": 1},
+        "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "TO",
+                      "group_by": "user", "mode": "full"},
+        "seed": 2020,
+    }
+    # newer scipy removed dok_matrix._update, which the reference uses
+    import scipy.sparse as sp
+
+    if not hasattr(sp.dok_matrix, "_update"):
+        def _update(self, data):
+            for k, v in data.items():
+                self[k] = v
+
+        sp.dok_matrix._update = _update
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        from recbole.model.general_recommender.lightgcn import (
+            LightGCN as RefLG,
+        )
+
+        rcfg = RefConfig(model="LightGCN", dataset="toy",
+                         config_dict=dict(common))
+        rds = RefDataset(rcfg)
+        rtrain = rds.build()[0]
+        rm = RefLG(rcfg, rtrain)
+        rm.eval()
+
+    from oovrec_tpu.config.configurator import Config
+    from oovrec_tpu.data.dataset import Dataset
+
+    oc = Config(config_dict=dict(common, model="LightGCN", dataset="toy"))
+    ods = Dataset(oc)
+    otrain = ods.build()[0]
+    cls = get_model_class("LightGCN")
+    om = cls(n_users=ods.user_num, n_items=ods.item_num, embedding_size=8,
+             n_layers=2)
+    estate = cls.build_estate(otrain)
+    B = 4
+    batch = {"user_id": np.array([1, 2, 3, 4], np.int32),
+             "item_id": np.array([1, 2, 3, 4], np.int32),
+             "neg_item_id": np.array([2, 3, 4, 5], np.int32),
+             "weight": np.ones(B, np.float32)}
+    vs = om.init(jax.random.key(0), batch,
+                 {k: np.asarray(v) for k, v in estate.items()},
+                 method=om.calculate_loss)
+    p = vs["params"]
+
+    with torch.no_grad():
+        rm.user_embedding.weight.copy_(torch.tensor(
+            np.asarray(p["user_embedding"]["embedding"])))
+        rm.item_embedding.weight.copy_(torch.tensor(
+            np.asarray(p["item_embedding"]["embedding"])))
+        ref_scores = rm.full_sort_predict(
+            {"user_id": torch.tensor(batch["user_id"].astype(np.int64))}
+        ).reshape(B, -1).numpy()
+    mine = np.asarray(om.apply(
+        vs, batch, {k: np.asarray(v) for k, v in estate.items()},
+        method=om.full_sort_scores))
+    np.testing.assert_allclose(mine, ref_scores, rtol=1e-4, atol=1e-5)
