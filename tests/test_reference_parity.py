@@ -1276,3 +1276,94 @@ def test_lightgcn_propagation_parity(ref_dataset_cls):
         vs, batch, {k: np.asarray(v) for k, v in estate.items()},
         method=om.full_sort_scores))
     np.testing.assert_allclose(mine, ref_scores, rtol=1e-4, atol=1e-5)
+
+
+def test_torch_checkpoint_import(ref_dataset_cls):
+    """Migration path: a RANDOM reference WideDeep state_dict imported via
+    utils/torch_import gives identical logits — i.e. users can load their
+    trained reference checkpoints into this framework."""
+    import torch
+
+    from oovrec_tpu.utils.torch_import import import_state_dict
+
+    rm, om, vs, ob, inter = _context_parity_pair(
+        ref_dataset_cls, "WideDeep",
+        {"mlp_hidden_size": [32, 16, 8]},
+        {"mlp_hidden_size": (32, 16, 8)},
+    )
+    sd = {k: v.detach().numpy() for k, v in rm.state_dict().items()}
+    imported = import_state_dict("WideDeep", sd)
+    # graft imported weights onto our param tree (structure must line up)
+    import jax
+
+    def merge(ours, new):
+        if isinstance(new, dict):
+            return {k: merge(ours[k], new[k]) if k in new else ours[k]
+                    for k in ours} | {
+                k: new[k] for k in new if k not in ours}
+        return new
+
+    p2 = merge(vs["params"], imported)
+    chex_equal = jax.tree_util.tree_structure(
+        p2) == jax.tree_util.tree_structure(vs["params"])
+    assert chex_equal, "imported tree shape mismatch"
+    with torch.no_grad():
+        ref_out = rm.forward(inter).numpy()
+    our_out = np.asarray(om.apply({"params": p2}, ob, {}, method=om.forward))
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-5, atol=1e-6)
+
+
+def test_torch_checkpoint_import_bpr(ref_dataset_cls):
+    import torch
+
+    from oovrec_tpu.utils.torch_import import import_state_dict
+    from oovrec_tpu.inductive.spec import InductiveSpec
+    from oovrec_tpu.models.bpr import BPR
+    import jax
+    import jax.numpy as jnp
+
+    RefConfig, RefDataset = ref_dataset_cls
+    import os
+    import warnings
+
+    common = {
+        "data_path": os.path.join(os.path.dirname(__file__), "assets"),
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+        "embedding_size": 8,
+        "add_oov_buckets": True, "user_oov_buckets": 13,
+        "item_oov_buckets": 11, "oov_freeze_embedding": False,
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rcfg = RefConfig(model="BPR", dataset="toy",
+                         config_dict=dict(common))
+        rds = RefDataset(rcfg)
+        from recbole.inductive.random_mapper import RandomOOVInductiveMapper
+        from recbole.model.general_recommender.bpr import BPR as RefBPR
+
+        n_u, n_i = rds.user_num, rds.item_num
+        rmap = RandomOOVInductiveMapper(
+            np.zeros((n_u + 5, 1)), np.zeros((n_i + 5, 1)), n_u, n_i,
+            13, 11, 8, torch.device("cpu"), 112062759511, "64bit")
+        rmap.set_eval()
+        rm = RefBPR(rcfg, rds, inductive_mapper=rmap)
+        rm.eval()
+    sd = {k: v.detach().numpy() for k, v in rm.state_dict().items()}
+    p = import_state_dict("BPR", sd)
+    spec = InductiveSpec(mapper="random", add_oov_buckets=True,
+                         n_user_buckets=13, n_item_buckets=11,
+                         embedding_size=8, hash_function="64bit")
+    om = BPR(n_users=n_u, n_items=n_i, embedding_size=8, spec=spec)
+    ids = np.array([1, 3, n_u + 2, 2], np.int64)
+    from oovrec_tpu.inductive.mapper import RandomOOVMapper
+
+    batch = {"user_id": ids.copy(), "item_id": ids.copy(),
+             "neg_item_id": ids.copy()}
+    RandomOOVMapper(spec, n_u, n_i).annotate(batch, "user_id", "item_id")
+    batch["user_id"] = np.minimum(batch["user_id"], n_u - 1).astype(np.int32)
+    with torch.no_grad():
+        ref_ue = rm.get_user_embedding(torch.tensor(ids)).numpy()
+    our_ue = np.asarray(om.apply(
+        {"params": jax.tree.map(jnp.asarray, p)},
+        jnp.asarray(batch["user_id"]), batch, {}, method=om.user_e))
+    np.testing.assert_allclose(our_ue, ref_ue, rtol=1e-6, atol=1e-7)
