@@ -171,6 +171,33 @@ def run(
     model_obj, variables, estate = build_model_and_state(
         config, ds, template_batch=template
     )
+    if config["import_torch_checkpoint"]:
+        # migration path: seed params from a trained reference .pth
+        # (utils/torch_import.py; layout maps proven output-identical
+        # in tests/test_reference_parity.py)
+        import jax.numpy as _jnp
+        import jax as _jax
+
+        from oovrec_tpu.utils.torch_import import (
+            import_reference_checkpoint,
+        )
+
+        imported = import_reference_checkpoint(
+            config["model"], config["import_torch_checkpoint"]
+        )
+
+        def _merge(ours, new):
+            if isinstance(new, dict) and isinstance(ours, dict):
+                return {k: (_merge(ours[k], new[k]) if k in new else ours[k])
+                        for k in ours}
+            return _jnp.asarray(new)
+
+        variables = dict(variables,
+                         params=_merge(variables["params"], imported))
+        logger.info(
+            "imported reference checkpoint "
+            f"[{config['import_torch_checkpoint']}]"
+        )
     # startup cost report (`get_flops`, src/run_recbole.py:90 analog)
     try:
         from oovrec_tpu.utils.flops import count_params
