@@ -23,8 +23,15 @@ def ref_metrics():
         sys.modules.setdefault(name, types.ModuleType(name))
     sys.modules["colorlog"].ColoredFormatter = object
     sys.modules["texttable"].Texttable = object
+    class _SummaryWriter:
+        def __init__(self, *a, **k):
+            pass
+
+        def __getattr__(self, name):  # add_scalar/add_hparams/… all no-op
+            return lambda *a, **k: None
+
     tb = types.ModuleType("torch.utils.tensorboard")
-    tb.SummaryWriter = object
+    tb.SummaryWriter = _SummaryWriter
     sys.modules["torch.utils.tensorboard"] = tb
     if REF not in sys.path:
         sys.path.insert(0, REF)
@@ -1367,3 +1374,96 @@ def test_torch_checkpoint_import_bpr(ref_dataset_cls):
         {"params": jax.tree.map(jnp.asarray, p)},
         jnp.asarray(batch["user_id"]), batch, {}, method=om.user_e))
     np.testing.assert_allclose(our_ue, ref_ue, rtol=1e-6, atol=1e-7)
+
+
+def test_cross_framework_checkpoint_eval(ref_dataset_cls, tmp_path):
+    """CAPSTONE: train the reference BPR end-to-end (torch, CPU), save its
+    checkpoint, import it with utils/torch_import, evaluate with OUR
+    loaders/evaluator on the identical split — test metrics equal the
+    reference's own evaluation to 4 decimals (model + data + eval parity
+    all at once)."""
+    RefConfig, RefDataset = ref_dataset_cls
+    import os
+    import warnings
+
+    import torch
+
+    _orig_load = torch.load
+
+    def _load(*a, **k):
+        k.setdefault("weights_only", False)
+        return _orig_load(*a, **k)
+
+    torch.load = _load
+    try:
+        common = {
+            "data_path": os.path.join(os.path.dirname(__file__), "assets"),
+            "load_col": {"inter": ["user_id", "item_id", "rating",
+                                   "timestamp"]},
+            "embedding_size": 8, "epochs": 2, "train_batch_size": 16,
+            "eval_batch_size": 64,
+            "add_oov_buckets": True, "user_oov_buckets": 13,
+            "item_oov_buckets": 11, "oov_freeze_embedding": False,
+            "train_neg_sample_args": {"distribution": "uniform",
+                                      "sample_num": 1},
+            "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "TO",
+                          "group_by": "user", "mode": "full"},
+            "topk": [2, 5],
+            "metrics": ["Recall", "MRR", "NDCG", "Hit", "Precision"],
+            "valid_metric": "MRR@2", "seed": 2020,
+        }
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            from recbole.data.dataloader import NegSampleEvalDataLoader
+            from recbole.data.utils import data_preparation as ref_prep
+            from recbole.inductive.random_mapper import (
+                RandomOOVInductiveMapper,
+            )
+            from recbole.model.general_recommender.bpr import BPR as RefBPR
+            import recbole.trainer.trainer as rtt
+            from recbole.trainer import Trainer as RefTrainer
+
+            rtt.NegSampleEvalDataloader = NegSampleEvalDataLoader
+            rcfg = RefConfig(model="BPR", dataset="toy", config_dict=dict(
+                common, device="cpu", use_gpu=False,
+                checkpoint_dir=str(tmp_path)))
+            rds = RefDataset(rcfg)
+            rtr, rva, rte = ref_prep(rcfg, rds)
+            n_u, n_i = rds.user_num, rds.item_num
+            rmap = RandomOOVInductiveMapper(
+                np.zeros((n_u + 5, 1)), np.zeros((n_i + 5, 1)), n_u, n_i,
+                13, 11, 8, torch.device("cpu"), 112062759511, "64bit")
+            rmap.set_eval()
+            rmodel = RefBPR(rcfg, rds, inductive_mapper=rmap)
+            rtrainer = RefTrainer(rcfg, rmodel)
+            rtrainer.fit(rtr, rva, saved=True, show_progress=False)
+            ref_result = dict(rtrainer.evaluate(
+                rte, load_best_model=True, show_progress=False))
+            ckpt_path = rtrainer.saved_model_file
+    finally:
+        torch.load = _orig_load
+
+    # ---- our side: same config, imported weights, our evaluator
+    from oovrec_tpu.cli.quick_start import build_model_and_state
+    from oovrec_tpu.config.configurator import Config
+    from oovrec_tpu.data.utils import create_dataset, data_preparation
+    from oovrec_tpu.train.trainer import Trainer
+    from oovrec_tpu.utils.torch_import import import_reference_checkpoint
+
+    oc = Config(config_dict=dict(
+        common, model="BPR", dataset="toy",
+        inductive_mapper="random", oov_hash_function="64bit",
+        n_user_oov_buckets=13, n_item_oov_buckets=11,
+        checkpoint_dir=str(tmp_path / "ours")))
+    ods = create_dataset(oc)
+    _, _, otest = data_preparation(oc, ods)
+    model_obj, variables, estate = build_model_and_state(oc, ods)
+    import jax
+
+    imported = import_reference_checkpoint("BPR", ckpt_path)
+    variables = dict(variables, params=jax.tree.map(
+        np.asarray, imported))
+    trainer = Trainer(oc, model_obj, variables, estate)
+    our_result = trainer.evaluate(otest, load_best_model=False)
+    for k, v in ref_result.items():
+        assert abs(our_result[k] - float(v)) < 5e-4, (k, our_result[k], v)
