@@ -47,6 +47,17 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _resolve_tn(tn: int, n_items: int) -> int:
+    """Clamp the item-tile size. At large corpora the per-block bitmap
+    slice offset is (tn/32)·block; Mosaic must prove it 128-aligned, so
+    keep tn/32 ≥ 128 (tn ≥ 4096) whenever the corpus allows."""
+    cap = max(128, 1 << (n_items - 1).bit_length())
+    tn = min(tn, cap)
+    if cap >= 4096:
+        tn = max(tn, 4096)
+    return tn
+
+
 def _kernel(u_ref, it_ref, bm_ref, vals_ref, idx_ref, *, k: int, tn: int):
     j = pl.program_id(1)
     u = u_ref[...]                       # (TU, D)
@@ -103,7 +114,7 @@ def fused_topk_scores(
     """
     B, D = user_e.shape
     N = item_e.shape[0]
-    tn = min(tn, max(128, 1 << (N - 1).bit_length()))
+    tn = _resolve_tn(tn, N)
     n_blocks = _cdiv(N, tn)
     k_eff = min(k, tn)
 
@@ -165,7 +176,7 @@ def build_hist_bitmap(
     Layout matches `fused_topk_scores(tn=tn)`: within each tn-item block
     (W_b = tn/32 words), item l sets bit (l // W_b) of word (l % W_b).
     """
-    tn = min(tn, max(128, 1 << (n_items - 1).bit_length()))
+    tn = _resolve_tn(tn, n_items)
     B, H = hist_items.shape
     n_blocks = _cdiv(n_items, tn)
     Np = n_blocks * tn
