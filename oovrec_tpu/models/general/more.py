@@ -49,7 +49,9 @@ class EASE(GeneralRecommender):
         X[uid, iid] = 1.0
         G = X.T @ X + reg_weight * np.eye(X.shape[1], dtype=np.float32)
         P = np.linalg.inv(G)
-        B = -P / np.diag(P)[:, None]
+        # column-wise division: B_ij = −P_ij / P_jj (`ease.py:48`, the
+        # paper's B = I − P·diagMat(1/diag P))
+        B = -P / np.diag(P)[None, :]
         np.fill_diagonal(B, 0.0)
         return {"ease_B": B.astype(np.float32), "user_hist_matrix": X}
 

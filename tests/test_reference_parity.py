@@ -1467,3 +1467,54 @@ def test_cross_framework_checkpoint_eval(ref_dataset_cls, tmp_path):
     our_result = trainer.evaluate(otest, load_best_model=False)
     for k, v in ref_result.items():
         assert abs(our_result[k] - float(v)) < 5e-4, (k, our_result[k], v)
+
+
+def test_ease_closed_form_parity(ref_dataset_cls):
+    """EASE closed form: full-sort scores identical to the reference on
+    the same split (caught a transposed-B bug: B_ij = −P_ij / P_jj is a
+    COLUMN-wise division, `ease.py:48`)."""
+    RefConfig, RefDataset = ref_dataset_cls
+    import os
+    import warnings
+
+    import jax
+    import torch
+
+    from oovrec_tpu.models import get_model_class
+
+    common = {
+        "data_path": os.path.join(os.path.dirname(__file__), "assets"),
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+        "reg_weight": 10.0,
+        "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "TO",
+                      "group_by": "user", "mode": "full"},
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        from recbole.model.general_recommender.ease import EASE as RefEASE
+
+        rcfg = RefConfig(model="EASE", dataset="toy",
+                         config_dict=dict(common, train_neg_sample_args=None))
+        rds = RefDataset(rcfg)
+        rm = RefEASE(rcfg, rds.build()[0])
+        users = torch.tensor([1, 2, 3])
+        with torch.no_grad():
+            ref_scores = rm.full_sort_predict(
+                {"user_id": users}).reshape(3, -1).numpy()
+
+    from oovrec_tpu.config.configurator import Config
+    from oovrec_tpu.data.dataset import Dataset
+
+    oc = Config(config_dict=dict(common, model="EASE", dataset="toy"))
+    ods = Dataset(oc)
+    cls = get_model_class("EASE")
+    estate = cls.build_estate(ods.build()[0], reg_weight=10.0)
+    om = cls(n_users=ods.user_num, n_items=ods.item_num)
+    batch = {"user_id": np.array([1, 2, 3], np.int32),
+             "item_id": np.zeros(3, np.int32),
+             "weight": np.ones(3, np.float32)}
+    vs = om.init(jax.random.key(0), batch, estate,
+                 method=om.full_sort_scores)
+    mine = np.asarray(om.apply(vs, batch, estate,
+                               method=om.full_sort_scores))
+    np.testing.assert_allclose(mine, ref_scores, rtol=1e-4, atol=1e-6)
