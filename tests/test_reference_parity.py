@@ -1518,3 +1518,54 @@ def test_ease_closed_form_parity(ref_dataset_cls):
     mine = np.asarray(om.apply(vs, batch, estate,
                                method=om.full_sort_scores))
     np.testing.assert_allclose(mine, ref_scores, rtol=1e-4, atol=1e-6)
+
+
+def test_itemknn_similarity_parity(ref_dataset_cls):
+    """ItemKNN: full-sort scores bit-identical (cosine top-k similarity
+    with shrinkage, `itemknn.py` ComputeSimilarity)."""
+    RefConfig, RefDataset = ref_dataset_cls
+    import os
+    import warnings
+
+    import jax
+    import torch
+
+    from oovrec_tpu.models import get_model_class
+
+    common = {
+        "data_path": os.path.join(os.path.dirname(__file__), "assets"),
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+        "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "TO",
+                      "group_by": "user", "mode": "full"},
+        "k": 3, "shrink": 0.0,
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        from recbole.model.general_recommender.itemknn import (
+            ItemKNN as RefKNN,
+        )
+
+        rcfg = RefConfig(model="ItemKNN", dataset="toy",
+                         config_dict=dict(common, train_neg_sample_args=None))
+        rds = RefDataset(rcfg)
+        rm = RefKNN(rcfg, rds.build()[0])
+        with torch.no_grad():
+            ref_scores = rm.full_sort_predict(
+                {"user_id": torch.tensor([1, 2, 3])}).reshape(3, -1).numpy()
+
+    from oovrec_tpu.config.configurator import Config
+    from oovrec_tpu.data.dataset import Dataset
+
+    oc = Config(config_dict=dict(common, model="ItemKNN", dataset="toy"))
+    ods = Dataset(oc)
+    cls = get_model_class("ItemKNN")
+    estate = cls.build_estate(ods.build()[0], k=3)
+    om = cls(n_users=ods.user_num, n_items=ods.item_num)
+    batch = {"user_id": np.array([1, 2, 3], np.int32),
+             "item_id": np.zeros(3, np.int32),
+             "weight": np.ones(3, np.float32)}
+    vs = om.init(jax.random.key(0), batch, estate,
+                 method=om.full_sort_scores)
+    mine = np.asarray(om.apply(vs, batch, estate,
+                               method=om.full_sort_scores))
+    np.testing.assert_allclose(mine, ref_scores, rtol=1e-6, atol=1e-7)
