@@ -112,9 +112,12 @@ class EvalRunner:
         if flag == "auto":
             import jax as _j
 
+            # the fused kernel's win grows with corpus size (HBM-bound
+            # scoring beats materializing (U, N) once N is large; at small
+            # N the per-block top-k rounds dominate and XLA matches it)
             return (
                 supported
-                and n_items >= 4096
+                and n_items >= 100_000
                 and _j.devices()[0].platform != "cpu"
             )
         return bool(flag) and supported

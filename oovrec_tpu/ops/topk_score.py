@@ -59,7 +59,8 @@ def _resolve_tn(tn: int, n_items: int) -> int:
 
 
 def _kernel(u_ref, it_ref, bm_ref, vals_ref, idx_ref, *, k: int, tn: int):
-    j = pl.program_id(1)
+    j = pl.program_id(0)  # item-block axis (slow): item tile loads ONCE
+                          # per block and is reused across all user tiles
     u = u_ref[...]                       # (TU, D)
     it = it_ref[...]                     # (TN, D)
     scores = jax.lax.dot_general(
@@ -81,18 +82,14 @@ def _kernel(u_ref, it_ref, bm_ref, vals_ref, idx_ref, *, k: int, tn: int):
     masked = ((w >> bit) & 1) == 1
     scores = jnp.where(masked, NEG_INF, scores)
 
-    # k rounds of (row max, suppress) → per-block top-k candidates
+    # k rounds of (row max+argmax, suppress) → per-block top-k candidates
     base = j * tn
     for i in range(k):
-        m = jnp.max(scores, axis=1, keepdims=True)            # (TU, 1)
-        is_max = scores == m
-        # first max position per row
-        pos = jnp.min(
-            jnp.where(is_max, lane, tn), axis=1, keepdims=True
-        )
-        vals_ref[0, :, i] = m[:, 0]
-        idx_ref[0, :, i] = (pos[:, 0] + base).astype(jnp.int32)
-        scores = jnp.where(lane == pos, NEG_INF, scores)
+        m = jnp.max(scores, axis=1)                           # (TU,)
+        pos = jnp.argmax(scores, axis=1).astype(jnp.int32)    # (TU,)
+        vals_ref[0, :, i] = m
+        idx_ref[0, :, i] = pos + base
+        scores = jnp.where(lane == pos[:, None], NEG_INF, scores)
 
 
 @functools.partial(
@@ -104,7 +101,7 @@ def fused_topk_scores(
     hist_bitmap: jnp.ndarray,  # (B, Np/32) int32 bit-plane bitmap for this tn
     k: int = 20,
     tn: int = 1024,
-    tu: int = 8,
+    tu: int = 128,   # full MXU row utilization per (tu, D)@(D, tn) tile
     interpret: bool = False,
 ):
     """Exact top-k of masked U@Iᵀ → (values (B,k), indices (B,k)).
@@ -130,18 +127,21 @@ def fused_topk_scores(
     bm = jnp.full((Bp, W), jnp.int32(-1))
     bm = bm.at[:B].set(hist_bitmap.astype(jnp.int32))
 
-    grid = (Bp // tu, n_blocks)
+    # grid: item blocks on the SLOW axis so each (tn, D) item tile is
+    # fetched once and stays in VMEM while every user tile sweeps past —
+    # HBM traffic = one pass over the item matrix per batch, not per tile
+    grid = (n_blocks, Bp // tu)
     vals, idx = pl.pallas_call(
         functools.partial(_kernel, k=k_eff, tn=tn),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tu, D), lambda i, j: (i, 0)),
-            pl.BlockSpec((tn, D), lambda i, j: (j, 0)),
-            pl.BlockSpec((tu, W), lambda i, j: (i, 0)),
+            pl.BlockSpec((tu, D), lambda j, i: (i, 0)),
+            pl.BlockSpec((tn, D), lambda j, i: (j, 0)),
+            pl.BlockSpec((tu, W), lambda j, i: (i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, tu, k_eff), lambda i, j: (j, i, 0)),
-            pl.BlockSpec((1, tu, k_eff), lambda i, j: (j, i, 0)),
+            pl.BlockSpec((1, tu, k_eff), lambda j, i: (j, i, 0)),
+            pl.BlockSpec((1, tu, k_eff), lambda j, i: (j, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_blocks, Bp, k_eff), jnp.float32),
