@@ -1395,6 +1395,8 @@ def test_cross_framework_checkpoint_eval(ref_dataset_cls, tmp_path):
         return _orig_load(*a, **k)
 
     torch.load = _load
+    torch.manual_seed(7)  # deterministic ref init/training regardless of
+    np.random.seed(7)     # test order (metric granularity is 0.2/user)
     try:
         common = {
             "data_path": os.path.join(os.path.dirname(__file__), "assets"),
