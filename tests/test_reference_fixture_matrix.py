@@ -30,8 +30,15 @@ def ref_env():
         sys.modules.setdefault(name, types.ModuleType(name))
     sys.modules["colorlog"].ColoredFormatter = object
     sys.modules["texttable"].Texttable = object
+    class _SummaryWriter:  # must accept args: the reference caches this
+        def __init__(self, *a, **k):  # symbol at import, and the capstone
+            pass                      # test later constructs it
+
+        def __getattr__(self, name):
+            return lambda *a, **k: None
+
     tb = types.ModuleType("torch.utils.tensorboard")
-    tb.SummaryWriter = object
+    tb.SummaryWriter = _SummaryWriter
     sys.modules["torch.utils.tensorboard"] = tb
     for alias, typ in (("float", float), ("int", int), ("bool", bool)):
         if not hasattr(np, alias):
