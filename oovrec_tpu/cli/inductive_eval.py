@@ -93,7 +93,7 @@ def perform_inductive_eval(
     ind_cfg, ind_dataset = create_ind_dataset(config, orig_dataset)
     check_feature_consistency(orig_dataset, ind_dataset)
 
-    _, _, test_loader = data_preparation(ind_cfg, ind_dataset)
+    train_loader, _, test_loader = data_preparation(ind_cfg, ind_dataset)
 
     n_old_users = orig_dataset.user_num
     n_old_items = orig_dataset.item_num
@@ -103,10 +103,17 @@ def perform_inductive_eval(
         spec = None
 
     # model with ORIGINAL table sizes; embedder state in inductive mode
-    # (feature matrices over the _ind corpus; planes/keys from checkpoint)
+    # (feature matrices over the _ind corpus; planes/keys from checkpoint).
+    # Context models need every feature column at init — take the template
+    # from the _ind train loader, like quick_start.run does.
+    template = train_loader._make_batch(
+        np.arange(min(2, max(len(ind_dataset.build()[0]), 1)))
+    )
     model, init_vars, estate = build_model_and_state(
         ind_cfg, ind_dataset, mode="inductive",
         n_entities=(n_old_users, n_old_items),
+        template_batch=template,
+        fields_from=orig_dataset,
     )
     params = serialization.from_bytes(init_vars["params"], ckpt["params"])
     variables = {"params": params}

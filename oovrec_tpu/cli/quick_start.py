@@ -26,14 +26,19 @@ from oovrec_tpu.utils.seeding import init_seed
 
 
 def build_model_and_state(config, dataset, mode: str = "transductive",
-                          n_entities=None, template_batch=None):
+                          n_entities=None, template_batch=None,
+                          fields_from=None):
     """Instantiate the model + init params + embedder state.
 
     `n_entities=(n_users, n_items)` overrides table sizes when rebuilding a
     model against an inductive corpus with the ORIGINAL counts
     (`perform_hashing.py:141-163`). `template_batch` (any host batch with
     the model's input columns) drives lazy param init; a minimal synthetic
-    one is derived when omitted.
+    one is derived when omitted. `fields_from` supplies the dataset the
+    CONTEXT field spec is derived from — the inductive rebuild passes the
+    original training dataset so packed-table shapes match the checkpoint
+    (the reference rebuilds on orig_dataset, `perform_hashing.py:150-163`),
+    while feature matrices (estate) still come from `dataset`.
     """
     import dataclasses
 
@@ -60,7 +65,7 @@ def build_model_and_state(config, dataset, mode: str = "transductive",
         neg_prefix=config["NEG_PREFIX"],
     )
     if is_context:
-        fields = field_spec_from_dataset(dataset, config)
+        fields = field_spec_from_dataset(fields_from or dataset, config)
         if n_entities is not None:
             # rebuild against the _ind corpus with ORIGINAL vocab sizes
             dims = list(fields.token_dims)

@@ -126,6 +126,11 @@ class Dataset:
                 load = None if lc == "*" else set(lc)
             else:
                 load = set()
+            if load:
+                # the fork force-loads the is_new split flag whenever a
+                # column selection is given (`dataset.py:443`), so context
+                # models DO see it as a token field when the file has it
+                load.add("is_new")
             return load, set(unload_col_cfg.get(suffix, []) or [])
 
         # interactions (single file or concatenated benchmark files)

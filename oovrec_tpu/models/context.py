@@ -190,7 +190,15 @@ class _FieldEmbedding(nn.Module):
         if not f.token_names:
             return None
         offsets = jnp.asarray(f.token_offsets)
-        ids = jnp.stack([batch[n] for n in f.token_names], axis=1)  # (B, F)
+        # a token column the corpus lacks falls back to [PAD]=0: the _ind
+        # benchmark files carry no is_new column while the trained model
+        # (rebuilt on the original dataset's fields) still embeds it
+        ref_col = batch[f.token_names[0]]
+        ids = jnp.stack(
+            [batch[n] if n in batch else jnp.zeros_like(ref_col)
+             for n in f.token_names],
+            axis=1,
+        )  # (B, F)
         n_vocab = jnp.asarray(np.array(f.token_dims, np.int32))
         safe = jnp.minimum(ids, n_vocab[None, :] - 1)
         emb = self.token_table(safe + offsets[None, :])  # (B, F, dim)

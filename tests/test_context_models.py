@@ -81,6 +81,38 @@ def test_dcnv2_mixed_cross():
     assert "auc" in res["test_result"]
 
 
+def test_ctr_inductive_eval_seven_slices(tmp_path):
+    """Ranking-track inductive eval end-to-end: checkpoint → _ind corpus
+    rebuild → 7-slice VALUE metrics (`perform_hashing.py:85-170` on the
+    paper's ranking models). Regression: the model re-init template must
+    carry every feature column, not just the id triple."""
+    from oovrec_tpu.cli.inductive_eval import perform_inductive_eval
+
+    cfg = _ranking_cfg(
+        "WideDeep",
+        checkpoint_dir=str(tmp_path),
+        inductive_embedder="lsh",
+        add_oov_buckets=True,
+        n_user_oov_buckets=8,
+        n_item_oov_buckets=8,
+        train_oov=True,
+        oov_train_ratio=0.8,
+    )
+    res = run(config_dict=cfg, saved=True)
+    results = perform_inductive_eval(
+        res["dataset"], res["trainer"].saved_model_file, config=res["config"]
+    )
+    assert set(results) == {
+        "overall", "old_users", "new_users",
+        "old_old", "old_new", "new_old", "new_new",
+    }
+    assert "auc" in results["overall"]
+    for r in results.values():
+        for k, v in r.items():
+            if k == "auc" and not np.isnan(v):
+                assert 0.0 <= v <= 1.0
+
+
 def test_ctr_inductive_oov_training(tmp_path):
     cfg = _ranking_cfg(
         "WideDeep",
