@@ -117,6 +117,16 @@ def perform_inductive_eval(
     )
     params = serialization.from_bytes(init_vars["params"], ckpt["params"])
     variables = {"params": params}
+    # non-param collections (e.g. DCNv2's BatchNorm batch_stats) ride the
+    # checkpoint's extra_vars; the rebuilt model needs them at eval time
+    extra_t = {k: v for k, v in init_vars.items() if k != "params"}
+    if extra_t:
+        if ckpt.get("extra_vars"):
+            variables.update(
+                serialization.from_bytes(extra_t, ckpt["extra_vars"])
+            )
+        else:
+            variables.update(extra_t)
     ckpt_estate = ckpt.get("estate", {})
     for k in ("user_planes", "item_planes", "dhe_keys"):
         if k in ckpt_estate:

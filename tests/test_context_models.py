@@ -81,16 +81,23 @@ def test_dcnv2_mixed_cross():
     assert "auc" in res["test_result"]
 
 
-def test_ctr_inductive_eval_seven_slices(tmp_path):
+@pytest.mark.parametrize("model", ["WideDeep", "DCNV2", "xDeepFM"])
+def test_ctr_inductive_eval_seven_slices(tmp_path, model):
     """Ranking-track inductive eval end-to-end: checkpoint → _ind corpus
     rebuild → 7-slice VALUE metrics (`perform_hashing.py:85-170` on the
     paper's ranking models). Regression: the model re-init template must
     carry every feature column, not just the id triple."""
     from oovrec_tpu.cli.inductive_eval import perform_inductive_eval
 
+    over = {}
+    if model == "DCNV2":
+        over = {"cross_layer_num": 2, "reg_weight": 0.01}
+    elif model == "xDeepFM":
+        over = {"cin_layer_size": [8, 8], "direct": False, "reg_weight": 0.0}
     cfg = _ranking_cfg(
-        "WideDeep",
+        model,
         checkpoint_dir=str(tmp_path),
+        **over,
         inductive_embedder="lsh",
         add_oov_buckets=True,
         n_user_oov_buckets=8,
