@@ -401,81 +401,92 @@ class Dataset:
             )
 
     def _fill_nan(self) -> None:
+        """Impute cells left missing by the dense reindex (semantics of
+        `recbole/data/dataset/dataset.py:655-680`): token ids fall back to
+        PAD (0), scalar floats to the column mean, and sequence cells —
+        which hold either an ndarray or a NaN placeholder — to an empty
+        array of the field's dtype."""
+        seq_dtypes = {
+            FeatureType.TOKEN_SEQ: np.int64,
+            FeatureType.FLOAT_SEQ: np.float64,
+        }
         for feat in self._feats():
             for field in feat.columns:
                 ftype = self.field2type[field]
+                column = feat[field]
                 if ftype == FeatureType.TOKEN:
-                    feat[field] = feat[field].fillna(value=0).astype(np.int64)
+                    feat[field] = column.fillna(0).astype(np.int64)
                 elif ftype == FeatureType.FLOAT:
-                    feat[field] = feat[field].fillna(value=feat[field].mean())
+                    feat[field] = column.fillna(column.mean())
                 else:
-                    dtype = (
-                        np.int64 if ftype == FeatureType.TOKEN_SEQ else np.float64
-                    )
-                    feat[field] = feat[field].apply(
-                        lambda x: np.array([], dtype=dtype)
-                        if isinstance(x, float)
-                        else x
-                    )
+                    empty = np.array([], dtype=seq_dtypes[ftype])
+                    feat[field] = [
+                        cell if isinstance(cell, np.ndarray) else empty
+                        for cell in column
+                    ]
 
     def _set_label_by_threshold(self) -> None:
-        threshold = self.config["threshold"]
-        if not threshold:
+        """Binarize one rating-like column into the label field
+        (semantics of `recbole/data/dataset/dataset.py:1140-1160`)."""
+        spec = self.config["threshold"]
+        if not spec:
             return
-        if len(threshold) != 1:
-            raise ValueError("Threshold length should be 1.")
+        if len(spec) != 1:
+            raise ValueError(
+                f"threshold must name exactly one field, got {sorted(spec)}"
+            )
+        ((src_field, cutoff),) = spec.items()
+        if src_field not in self.inter_feat.columns:
+            raise ValueError(
+                f"threshold field [{src_field}] absent from inter_feat"
+            )
         self.field2type[self.label_field] = FeatureType.FLOAT
         self.field2source[self.label_field] = FeatureSource.INTERACTION
         self.field2seqlen[self.label_field] = 1
-        for field, value in threshold.items():
-            if field not in self.inter_feat.columns:
-                raise ValueError(f"Field [{field}] not in inter_feat.")
-            self.inter_feat[self.label_field] = (
-                self.inter_feat[field] >= value
-            ).astype(np.int64)
-            if field != self.label_field:
-                self.inter_feat = self.inter_feat.drop(columns=[field])
+        labels = self.inter_feat[src_field].to_numpy() >= cutoff
+        self.inter_feat[self.label_field] = labels.astype(np.int64)
+        if src_field != self.label_field:
+            self.inter_feat = self.inter_feat.drop(columns=[src_field])
 
     def _normalize(self) -> None:
-        """Min-max normalization (`dataset.py:682-740`)."""
-        if self.config["normalize_field"] and self.config["normalize_all"]:
+        """Min-max scale float fields into [0, 1] (semantics of
+        `recbole/data/dataset/dataset.py:682-740`; a constant column maps
+        to all-ones like the reference). Seq fields are scaled over the
+        flattened pool of every element, then re-split per row."""
+        by_field = self.config["normalize_field"]
+        all_floats = self.config["normalize_all"]
+        if by_field and all_floats:
             raise ValueError(
-                "Normalize_field and normalize_all can't be set at the same time."
+                "normalize_field and normalize_all are mutually exclusive"
             )
-        if self.config["normalize_field"]:
-            fields = self.config["normalize_field"]
-        elif self.config["normalize_all"]:
-            fields = [
-                f
-                for f, t in self.field2type.items()
-                if t in (FeatureType.FLOAT, FeatureType.FLOAT_SEQ)
-            ]
+        float_types = (FeatureType.FLOAT, FeatureType.FLOAT_SEQ)
+        if by_field:
+            fields = by_field
+        elif all_floats:
+            fields = [f for f, t in self.field2type.items() if t in float_types]
         else:
             return
 
+        def minmax(values: np.ndarray) -> np.ndarray:
+            lo, hi = values.min(), values.max()
+            if hi == lo:
+                return np.ones_like(values)
+            return (values - lo) / (hi - lo)
+
         for field in fields:
             ftype = self.field2type.get(field)
-            if ftype not in (FeatureType.FLOAT, FeatureType.FLOAT_SEQ):
+            if ftype not in float_types:
                 continue
             for feat in self._field_feats(field):
                 if ftype == FeatureType.FLOAT:
-                    arr = feat[field].values.astype(np.float64)
-                    mx, mn = arr.max(), arr.min()
-                    feat[field] = (
-                        np.ones_like(arr) if mx == mn else (arr - mn) / (mx - mn)
-                    )
+                    feat[field] = minmax(feat[field].to_numpy(np.float64))
                 else:
-                    vals = list(feat[field].values)
-                    flat = np.concatenate(vals) if vals else np.array([])
-                    if flat.size:
-                        mx, mn = flat.max(), flat.min()
-                        flat = (
-                            np.ones_like(flat)
-                            if mx == mn
-                            else (flat - mn) / (mx - mn)
-                        )
-                        sp = np.cumsum([len(v) for v in vals])[:-1]
-                        feat[field] = np.split(flat, sp)
+                    cells = list(feat[field])
+                    lengths = [len(c) for c in cells]
+                    if sum(lengths) == 0:
+                        continue
+                    scaled = minmax(np.concatenate(cells))
+                    feat[field] = np.split(scaled, np.cumsum(lengths)[:-1])
 
     def _discretization(self) -> None:
         """Numerical features → (value, bucket) pairs for FLEmbedding

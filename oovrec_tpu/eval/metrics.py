@@ -22,27 +22,43 @@ def hit_(pos_index: np.ndarray, pos_len=None) -> np.ndarray:
 
 
 def mrr_(pos_index: np.ndarray, pos_len=None) -> np.ndarray:
-    idxs = pos_index.argmax(axis=1)
-    result = np.zeros_like(pos_index, dtype=np.float64)
-    for row, idx in enumerate(idxs):
-        if pos_index[row, idx] > 0:
-            result[row, idx:] = 1.0 / (idx + 1)
-        else:
-            result[row, idx:] = 0.0
-    return result
+    """Reciprocal rank of the first hit, as a per-cutoff matrix.
+
+    At cutoff k the value is 1/r where r is the 1-indexed rank of the
+    user's first positive, or 0 when the first positive falls beyond k
+    (or the user has none inside the window). Fully vectorized: one
+    argmax for the first-hit rank, one broadcast comparison for the
+    cutoff gating — no per-user Python loop (the reference iterates rows,
+    `recbole/evaluator/metrics.py:88-96`; value-identical)."""
+    n_users, window = pos_index.shape
+    first_hit = pos_index.argmax(axis=1)  # 0-indexed; 0 when row is empty
+    has_hit = pos_index[np.arange(n_users), first_hit].astype(bool)
+    reciprocal = np.where(has_hit, 1.0 / (first_hit + 1.0), 0.0)
+    # value appears from the cutoff that first contains the hit onwards
+    visible = np.arange(window)[None, :] >= first_hit[:, None]
+    return reciprocal[:, None] * visible
 
 
 def map_(pos_index: np.ndarray, pos_len: np.ndarray) -> np.ndarray:
-    pre = pos_index.cumsum(axis=1) / np.arange(1, pos_index.shape[1] + 1)
-    sum_pre = np.cumsum(pre * pos_index.astype(np.float64), axis=1)
-    len_rank = np.full_like(pos_len, pos_index.shape[1])
-    actual_len = np.where(pos_len > len_rank, len_rank, pos_len)
-    result = np.zeros_like(pos_index, dtype=np.float64)
-    for row, lens in enumerate(actual_len):
-        ranges = np.arange(1, pos_index.shape[1] + 1)
-        ranges[lens:] = ranges[lens - 1]
-        result[row] = sum_pre[row] / ranges
-    return result
+    """AP@k = (Σ_{j≤k} P@j · rel_j) / min(k, |positives|, window).
+
+    The denominator clamp is expressed directly as an elementwise min
+    instead of the reference's per-row mutated `ranges` array
+    (`recbole/evaluator/metrics.py:127-134`; value-identical, including
+    truncation of the ideal count to the ranking window)."""
+    window = pos_index.shape[1]
+    cutoffs = np.arange(1, window + 1, dtype=np.float64)
+    precision_at = pos_index.cumsum(axis=1) / cutoffs
+    ap_numerator = np.cumsum(precision_at * pos_index, axis=1)
+    ideal = np.minimum(pos_len, window).astype(np.float64)
+    # a user with zero recorded positives divides by the full window
+    # (degenerate but matches the reference's wrap-around clamp there)
+    denom = np.where(
+        ideal[:, None] > 0,
+        np.minimum(cutoffs[None, :], np.maximum(ideal, 1.0)[:, None]),
+        float(window),
+    )
+    return ap_numerator / denom
 
 
 def recall_(pos_index: np.ndarray, pos_len: np.ndarray) -> np.ndarray:
@@ -50,19 +66,27 @@ def recall_(pos_index: np.ndarray, pos_len: np.ndarray) -> np.ndarray:
 
 
 def ndcg_(pos_index: np.ndarray, pos_len: np.ndarray) -> np.ndarray:
-    len_rank = np.full_like(pos_len, pos_index.shape[1])
-    idcg_len = np.where(pos_len > len_rank, len_rank, pos_len)
+    """Binary-relevance NDCG@k = DCG@k / IDCG@k.
 
-    iranks = np.zeros_like(pos_index, dtype=np.float64)
-    iranks[:, :] = np.arange(1, pos_index.shape[1] + 1)
-    idcg = np.cumsum(1.0 / np.log2(iranks + 1), axis=1)
-    for row, idx in enumerate(idcg_len):
-        idcg[row, idx:] = idcg[row, idx - 1]
-
-    ranks = np.zeros_like(pos_index, dtype=np.float64)
-    ranks[:, :] = np.arange(1, pos_index.shape[1] + 1)
-    dcg = 1.0 / np.log2(ranks + 1)
-    dcg = np.cumsum(np.where(pos_index, dcg, 0), axis=1)
+    IDCG@k is read by gather: with per-position gains g_j = 1/log2(j+1)
+    and G = cumsum(g), the ideal DCG at cutoff k is G[min(k, n_ideal)]
+    where n_ideal = min(|positives|, window) — a (users, window) index
+    into one shared prefix-sum vector, replacing the reference's per-row
+    overwrite loop (`recbole/evaluator/metrics.py:186-203`;
+    value-identical)."""
+    n_users, window = pos_index.shape
+    gains = 1.0 / np.log2(np.arange(2, window + 2, dtype=np.float64))
+    dcg = np.cumsum(pos_index * gains[None, :], axis=1)
+    ideal_prefix = np.cumsum(gains)
+    n_ideal = np.minimum(pos_len, window)
+    # zero-recorded-positive rows divide by the full-window ideal
+    # (degenerate but matches the reference's wrap-around clamp there)
+    gather = np.where(
+        n_ideal[:, None] > 0,
+        np.minimum(np.arange(1, window + 1)[None, :], n_ideal[:, None]),
+        window,
+    )
+    idcg = ideal_prefix[gather - 1]
     return dcg / idcg
 
 
