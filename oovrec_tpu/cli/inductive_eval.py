@@ -106,9 +106,14 @@ def perform_inductive_eval(
     # (feature matrices over the _ind corpus; planes/keys from checkpoint).
     # Context models need every feature column at init — take the template
     # from the _ind train loader, like quick_start.run does.
-    template = train_loader._make_batch(
-        np.arange(min(2, max(len(ind_dataset.build()[0]), 1)))
-    )
+    n_train = len(train_loader.split)
+    if n_train == 0:
+        raise ValueError(
+            f"the inductive corpus '{ind_cfg['dataset']}' produced an empty "
+            "train split — cannot build a feature template for model init; "
+            "check eval_args.split and the _ind benchmark files"
+        )
+    template = train_loader._make_batch(np.arange(min(2, n_train)))
     model, init_vars, estate = build_model_and_state(
         ind_cfg, ind_dataset, mode="inductive",
         n_entities=(n_old_users, n_old_items),
@@ -147,4 +152,11 @@ def perform_inductive_eval(
     results = evaluator.evaluate_model(variables, test_loader)
     for s, r in results.items():
         logger.info(f"[{s}] {dict(r)}")
+    if any(results.get(s) for s in ("old_new", "new_old")):
+        logger.info(
+            "note: old_new/new_old use the intended complementary-mask "
+            "semantics (see eval/inductive.py docstring) and are NOT "
+            "numerically comparable with reference-produced numbers for "
+            "those two slices"
+        )
     return results

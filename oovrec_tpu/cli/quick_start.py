@@ -161,6 +161,19 @@ def run(
 ):
     """Full train+eval run (`quick_start.py:42` run_recbole analog)."""
     config = Config(model, dataset, config_file_list, config_dict)
+    # multi-host bootstrap BEFORE any device use (the reference's NCCL
+    # process-group init, `configurator.py:487-516`; here
+    # jax.distributed.initialize wires every host into one runtime so the
+    # ('data','model') mesh spans the pod slice)
+    if config["coordinator_address"] or (config["num_processes"] or 0) > 1:
+        from oovrec_tpu.parallel.distributed import initialize_distributed
+
+        info = initialize_distributed(
+            config["coordinator_address"],
+            config["num_processes"],
+            config["process_id"],
+        )
+        print(f"distributed runtime: {info}")
     init_seed(int(config["seed"] or 2020), config["reproducibility"])
     logger = init_logger(config)
     from oovrec_tpu.utils.precision import set_policy

@@ -35,6 +35,18 @@ from oovrec_tpu.utils.seeding import host_rng
 Batch = Dict[str, np.ndarray]
 
 
+def _process_info(
+    process_index: Optional[int], process_count: Optional[int]
+) -> tuple:
+    """Resolve the (rank, world) pair for per-process data sharding:
+    explicit ctor values win (unit-testable), else the live JAX runtime."""
+    if process_count is not None:
+        return int(process_index or 0), int(process_count)
+    import jax
+
+    return jax.process_index(), jax.process_count()
+
+
 def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
     if len(arr) == n:
         return arr
@@ -68,6 +80,8 @@ class TrainBatcher:
         neg_sample_args: Optional[dict] = None,
         batch_size: Optional[int] = None,
         shuffle: bool = True,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.split = split
         self.sampler = sampler
@@ -111,6 +125,20 @@ class TrainBatcher:
             self.step = max(bs // self.times, 1)
             self.batch_size = self.step * self.times
 
+        # per-process data sharding (DistributedSampler semantics,
+        # `abstract_dataloader.py:59-66`): every process walks the SAME
+        # shuffled global order (shared seed) and takes its interleaved
+        # slice; batches carry step/process_count positives each so the
+        # mesh-assembled global batch keeps the configured size.
+        self.process_index, self.process_count = _process_info(
+            process_index, process_count
+        )
+        self.local_step = (
+            max(self.step // self.process_count, 1)
+            if self.process_count > 1
+            else self.step
+        )
+
         self.user_feat = split.parent.get_user_feature() if split.parent.user_feat is not None else None
         self.item_feat = split.parent.get_item_feature() if split.parent.item_feat is not None else None
 
@@ -143,16 +171,18 @@ class TrainBatcher:
         return np.take_along_axis(cand, pick[:, :, None], axis=2)[:, :, 0]
 
     def __len__(self) -> int:
-        return (len(self.split) + self.step - 1) // self.step
+        n = len(self.split)
+        if not n:
+            return 0
+        max_local = -(-n // self.process_count)
+        return max(-(-max_local // self.local_step), 1)
 
     @property
     def rows_per_batch(self) -> int:
-        """Device-visible rows per emitted batch."""
-        if self.mode == "pairwise":
-            return self.step * self.times
-        if self.mode == "pointwise":
-            return self.step * self.times
-        return self.step
+        """Device-visible rows per emitted (per-process) batch."""
+        if self.mode in ("pairwise", "pointwise"):
+            return self.local_step * self.times
+        return self.local_step
 
     def __iter__(self) -> Iterator[Batch]:
         n = len(self.split)
@@ -163,8 +193,14 @@ class TrainBatcher:
             )
             rng.shuffle(order)
         self._epoch += 1
-        for start in range(0, n, self.step):
-            idx = order[start : start + self.step]
+        local = order[self.process_index :: self.process_count]
+        # every process emits the same batch count (max local rows over
+        # processes, batched by local_step); trailing short/empty slices
+        # become zero-weight padding so collective assembly never skews
+        max_local = -(-n // self.process_count)
+        n_batches = max(-(-max_local // self.local_step), 1) if n else 0
+        for b in range(n_batches):
+            idx = local[b * self.local_step : (b + 1) * self.local_step]
             yield self._make_batch(idx)
 
     def _make_batch(self, idx: np.ndarray) -> Batch:
@@ -187,9 +223,9 @@ class TrainBatcher:
             _join_features(batch, batch[self.iid_field], self.item_feat, self.iid_field)
             _join_features(batch, neg_flat, self.item_feat, self.iid_field, prefix=self.neg_prefix)
             _join_features(batch, batch[self.uid_field], self.user_feat, self.uid_field)
-            weight = np.zeros(self.step * self.times, dtype=np.float32)
+            weight = np.zeros(self.local_step * self.times, dtype=np.float32)
             weight[: n_real * self.times] = 1.0
-            total = self.step * self.times
+            total = self.local_step * self.times
         elif self.mode == "pointwise":
             neg = self._sample_negs(users)
             batch = {
@@ -204,13 +240,13 @@ class TrainBatcher:
             _join_features(batch, batch[self.iid_field], self.item_feat, self.iid_field)
             _join_features(batch, batch[self.uid_field], self.user_feat, self.uid_field)
             weight = np.ones(n_real * self.times, dtype=np.float32)
-            total = self.step * self.times
+            total = self.local_step * self.times
         else:
             batch = rows
             _join_features(batch, items, self.item_feat, self.iid_field)
             _join_features(batch, users, self.user_feat, self.uid_field)
             weight = np.ones(n_real, dtype=np.float32)
-            total = self.step
+            total = self.local_step
 
         batch = {k: _pad_to(np.asarray(v), total) for k, v in batch.items()}
         batch["weight"] = _pad_to(weight, total)
@@ -322,6 +358,8 @@ class FullSortEvalBatcher:
         config,
         phase: str = "test",
         batch_size: Optional[int] = None,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.split = split
         self.config = config
@@ -335,7 +373,21 @@ class FullSortEvalBatcher:
 
         pos_per_user = split.used_ids_per_user()
         uids = np.unique(split.inter[self.uid_field])
-        self.uid_list = uids[uids != 0]
+        uids = uids[uids != 0]
+
+        # per-process user sharding (DistributedSampler semantics): each
+        # process keeps its interleaved user slice; batch counts stay
+        # uniform across processes so mesh assembly never skews
+        self.process_index, self.process_count = _process_info(
+            process_index, process_count
+        )
+        self.n_global_users = len(uids)
+        if self.process_count > 1:
+            self.users_per_batch = max(
+                1, self.users_per_batch // self.process_count
+            )
+            uids = uids[self.process_index :: self.process_count]
+        self.uid_list = uids
 
         if sampler is not None and phase in sampler.used_ids:
             used = sampler.used_ids[phase]
@@ -353,12 +405,14 @@ class FullSortEvalBatcher:
         self.max_hist = max((len(h) for h in self._hist), default=1) or 1
 
     def __len__(self) -> int:
-        u = len(self.uid_list)
-        return (u + self.users_per_batch - 1) // self.users_per_batch
+        max_local = -(-self.n_global_users // self.process_count)
+        if not max_local:
+            return 0
+        return -(-max_local // self.users_per_batch)
 
     def __iter__(self) -> Iterator[Batch]:
         U = self.users_per_batch
-        for start in range(0, len(self.uid_list), U):
+        for start in range(0, len(self) * U, U):
             sel = slice(start, start + U)
             users = self.uid_list[sel]
             n_real = len(users)

@@ -39,7 +39,7 @@ def to_device_batch(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
 
 
 class EvalRunner:
-    def __init__(self, model, config, estate=None):
+    def __init__(self, model, config, estate=None, mesh=None):
         self.model = model
         self.config = config
         self.estate = estate
@@ -50,6 +50,26 @@ class EvalRunner:
         self._predict = None
         self._masked_scores = None
         self.train_split = None  # set by the trainer for popularity metrics
+        # production multi-chip eval: batches 'data'-sharded over the mesh
+        # (user axis for full-sort), per-process metric map-reduce — the
+        # TPU-native analog of the reference's sharded eval + all-gather
+        # (`trainer.py:644-666`).
+        if mesh is None:
+            from oovrec_tpu.parallel.mesh import maybe_mesh_from_config
+
+            mesh = maybe_mesh_from_config(config)
+        self.mesh = mesh
+
+    def _to_device(self, batch):
+        """Host batch → device batch; 'data'-sharded global arrays when a
+        mesh is active (host rows padded first so collector weights match
+        device shapes)."""
+        if self.mesh is None:
+            return batch, to_device_batch(batch)
+        from oovrec_tpu.parallel.mesh import pad_batch, place_batch
+
+        batch = pad_batch(batch, self.mesh.shape["data"])
+        return batch, place_batch(self.mesh, to_device_batch(batch))
 
     # ---------------------------------------------------------- full sort
 
@@ -170,6 +190,15 @@ class EvalRunner:
 
         return step
 
+    @staticmethod
+    def _host(x):
+        """Device output → host numpy; on a multi-process mesh only this
+        process's rows come back (the collector is per-process, reduced at
+        the end by map_reduce_metrics)."""
+        from oovrec_tpu.parallel.mesh import local_rows
+
+        return local_rows(x)
+
     # ------------------------------------------------------------ driver
 
     def evaluate(
@@ -186,6 +215,7 @@ class EvalRunner:
         batch-skipping sampled validation (`trainer.py:1916-1921`).
         """
         collector = Collector(self.config)
+        n_local = 0.0
         if self.train_split is not None and (
             "data.count_items" in collector.need
             or "data.num_items" in collector.need
@@ -213,23 +243,24 @@ class EvalRunner:
                     and rng.random() > sample_eval_ratio
                 ):
                     continue
-                db = to_device_batch(batch)
+                batch, db = self._to_device(batch)
                 topk_idx, pos_idx, pos_len = full_step(
                     variables, db, estate
                 )
+                n_local += float(np.sum(batch["weight"]))
                 collector.collect_topk(
-                    np.asarray(pos_idx), np.asarray(pos_len), batch["weight"]
+                    self._host(pos_idx), self._host(pos_len), batch["weight"]
                 )
                 if "rec.items" in collector.need:
                     collector.collect_items(
-                        np.asarray(topk_idx), batch["weight"]
+                        self._host(topk_idx), batch["weight"]
                     )
                 if "rec.meanrank" in collector.need:
                     from oovrec_tpu.eval.collector import meanrank_from_scores
 
                     if self._masked_scores is None:
                         self._masked_scores = self._make_masked_scores()
-                    sc = np.asarray(
+                    sc = self._host(
                         self._masked_scores(variables, db, estate)
                     )
                     prs, ul, pl = meanrank_from_scores(
@@ -253,15 +284,16 @@ class EvalRunner:
                         and rng.random() > sample_eval_ratio
                     ):
                         continue
-                    db = to_device_batch(batch)
+                    batch, db = self._to_device(batch)
                     topk_idx, pos_idx, pos_len = neg_step(
                         variables, db, estate
                     )
                     user_w = (
                         np.arange(eval_loader.max_users) < int(batch["n_users"])
                     ).astype(np.float32)
+                    n_local += float(np.sum(user_w))
                     collector.collect_topk(
-                        np.asarray(pos_idx), np.asarray(pos_len), user_w
+                        self._host(pos_idx), self._host(pos_len), user_w
                     )
             else:  # VALUE metrics: pooled scores + labels
                 if self._predict is None:
@@ -274,10 +306,11 @@ class EvalRunner:
                         and rng.random() > sample_eval_ratio
                     ):
                         continue
-                    db = to_device_batch(batch)
+                    batch, db = self._to_device(batch)
                     scores = self._predict(variables, db, estate)
+                    n_local += float(np.sum(batch["weight"]))
                     collector.collect_scores(
-                        np.asarray(scores),
+                        self._host(scores),
                         batch[self.model.label_field],
                         batch["weight"],
                     )
@@ -288,10 +321,11 @@ class EvalRunner:
                 if self._predict is None:
                     self._predict = self._make_predict()
                 for batch in eval_loader:
-                    db = to_device_batch(batch)
+                    batch, db = self._to_device(batch)
                     scores = self._predict(variables, db, estate)
+                    n_local += float(np.sum(batch["weight"]))
                     collector.collect_scores(
-                        np.asarray(scores),
+                        self._host(scores),
                         batch[self.model.label_field],
                         batch["weight"],
                     )
@@ -299,7 +333,12 @@ class EvalRunner:
                 raise NotImplementedError(type(eval_loader))
 
         evaluator = Evaluator(self.config)
-        return evaluator.evaluate(collector.get_data_struct())
+        result = evaluator.evaluate(collector.get_data_struct())
+        if self.mesh is not None:
+            from oovrec_tpu.parallel.distributed import map_reduce_metrics
+
+            result = map_reduce_metrics(result, int(n_local))
+        return result
 
 
 def _device_estate(estate):

@@ -40,6 +40,10 @@ from oovrec_tpu.models.base import dhe_hashes_for, Batch, EmbedderMLP, register_
 from oovrec_tpu.models.init import xavier_normal
 from oovrec_tpu.utils.enums import FeatureSource, FeatureType, InputType, ModelType
 
+# token columns a corpus may legitimately lack (PAD-filled when absent):
+# the fork's is_new flag column exists only on the original benchmark files
+OPTIONAL_TOKEN_COLUMNS = frozenset({"is_new"})
+
 
 @dataclasses.dataclass(frozen=True)
 class FieldSpec:
@@ -190,10 +194,20 @@ class _FieldEmbedding(nn.Module):
         if not f.token_names:
             return None
         offsets = jnp.asarray(f.token_offsets)
-        # a token column the corpus lacks falls back to [PAD]=0: the _ind
+        # only KNOWN-optional columns may fall back to [PAD]=0: the _ind
         # benchmark files carry no is_new column while the trained model
-        # (rebuilt on the original dataset's fields) still embeds it
+        # (rebuilt on the original dataset's fields) still embeds it; any
+        # other absent column is a data-pipeline bug and must raise
         ref_col = batch[f.token_names[0]]
+        missing = [
+            n for n in f.token_names
+            if n not in batch and n not in OPTIONAL_TOKEN_COLUMNS
+        ]
+        if missing:
+            raise KeyError(
+                f"token feature column(s) {missing} absent from the batch; "
+                f"only {sorted(OPTIONAL_TOKEN_COLUMNS)} may be PAD-filled"
+            )
         ids = jnp.stack(
             [batch[n] if n in batch else jnp.zeros_like(ref_col)
              for n in f.token_names],

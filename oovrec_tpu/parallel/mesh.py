@@ -51,6 +51,21 @@ def mesh_from_config(config, devices=None) -> Mesh:
     )
 
 
+def mesh_active(config) -> bool:
+    """The mesh path engages when the user asks for it: `use_mesh: true`,
+    an explicit data-axis size, or a model axis > 1 (`--mesh='{"data":4,
+    "model":2}'`). Defaults (data -1 / model 1) keep the single-device
+    path so laptops and unit tests never pay sharding overhead."""
+    if config.get("use_mesh"):
+        return True
+    m = config.get("mesh", {}) or {}
+    return int(m.get("model", 1) or 1) > 1 or int(m.get("data", -1) or -1) > 0
+
+
+def maybe_mesh_from_config(config, devices=None):
+    return mesh_from_config(config, devices) if mesh_active(config) else None
+
+
 def param_sharding(
     mesh: Mesh, params, row_shard_threshold: int = 4096
 ):
@@ -90,3 +105,67 @@ def shard_params(mesh: Mesh, params, row_shard_threshold: int = 4096):
     """Place a param pytree onto the mesh under the sharding rule."""
     shardings = param_sharding(mesh, params, row_shard_threshold)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def pad_batch(batch, multiple: int):
+    """Zero-pad every array's leading (batch) axis to a multiple; every
+    batcher emits a `weight` column that zero-masks pad rows, so losses
+    and metrics are unaffected. Shapes are deterministic per loader, so
+    this never triggers a recompile."""
+
+    def pad(v):
+        v = np.asarray(v)
+        if v.ndim >= 1 and v.shape[0] % multiple:
+            extra = (-v.shape[0]) % multiple
+            v = np.concatenate(
+                [v, np.zeros((extra,) + v.shape[1:], v.dtype)]
+            )
+        return v
+
+    return {k: pad(v) for k, v in batch.items()}
+
+
+def place_batch(mesh: Mesh, batch):
+    """Assemble a host batch as 'data'-sharded global device arrays.
+
+    Single-process: plain device_put under the NamedSharding. Multi-process
+    (pod slice): each process contributes its local rows via
+    `jax.make_array_from_process_local_data` — the TPU-native analog of
+    the reference's DistributedSampler feeding per-rank DDP replicas
+    (`abstract_dataloader.py:59-66`); per-process batchers emit the local
+    slice (see data/dataloader.py process sharding)."""
+    batch = pad_batch(batch, mesh.shape["data"])
+    shardings = batch_sharding(mesh, batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(jax.device_put, batch, shardings)
+    return jax.tree.map(
+        lambda v, s: jax.make_array_from_process_local_data(s, v),
+        batch,
+        shardings,
+    )
+
+
+def host_copy(tree):
+    """Device pytree → host numpy, gathering non-addressable (cross-host
+    sharded) arrays first. Used by checkpointing: the reference writes
+    rank-0-only full state (`trainer.py:294-317`); here every process
+    reconstructs the global arrays and process 0 writes."""
+
+    def gather(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree.map(gather, tree)
+
+
+def local_rows(arr) -> np.ndarray:
+    """This process's rows of a leading-axis-sharded global array, in
+    shard order — what the local metric collector consumes before the
+    cross-process map-reduce."""
+    if not isinstance(arr, jax.Array) or arr.is_fully_addressable:
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)

@@ -63,23 +63,18 @@ def make_sharded_train_step(
 def opt_state_sharding(mesh, opt_state_shapes, p_shard):
     """Optimizer-state shardings mirror the param shardings.
 
-    Adam mu/nu (and friends) are param-structured subtrees — a state leaf
-    belongs to param P iff its key path ends with P's path; such leaves
-    inherit P's sharding, structural leaves (step counts) are replicated.
+    Adam mu/nu (and friends) are param-structured subtrees — their
+    treedef is identical to the parameter treedef, which is the exact
+    alignment key (utils/tree_align.py); such subtrees inherit the param
+    shardings wholesale, structural leaves (step counts) are replicated.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    shard_by_path = {}
-    jax.tree_util.tree_map_with_path(
-        lambda p, s: shard_by_path.__setitem__(jax.tree_util.keystr(p), s),
+    from oovrec_tpu.utils.tree_align import map_param_subtrees
+
+    return map_param_subtrees(
         p_shard,
+        lambda _sub: p_shard,
+        lambda _leaf: NamedSharding(mesh, P()),
+        opt_state_shapes,
     )
-
-    def rule(path, _leaf):
-        ps = jax.tree_util.keystr(path)
-        for param_path, s in shard_by_path.items():
-            if ps.endswith(param_path):
-                return s
-        return NamedSharding(mesh, P())
-
-    return jax.tree_util.tree_map_with_path(rule, opt_state_shapes)

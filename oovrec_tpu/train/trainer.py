@@ -72,7 +72,18 @@ class Trainer:
                 mu_dtype=self.config["optimizer_mu_dtype"],
             )
         )
+
+        # production multi-chip path: when a mesh is configured, params /
+        # optimizer state / batches live on the ('data','model') mesh and
+        # every jitted step below compiles to SPMD with XLA collectives —
+        # the TPU-native replacement of the reference's DDP wrap
+        # (`trainer.py:68-72`) reachable from the CLI (`--mesh=...`).
+        from oovrec_tpu.parallel.mesh import maybe_mesh_from_config
+
+        self.mesh = maybe_mesh_from_config(config)
         self.opt_state = self.tx.init(self.variables["params"])
+        if self.mesh is not None:
+            self._place_state_on_mesh()
 
         self.start_epoch = 0
         self.cur_step = 0
@@ -86,7 +97,9 @@ class Trainer:
             ckpt_dir, f"{config['model']}-{config['dataset']}.ckpt"
         )
 
-        self.eval_runner = EvalRunner(model, config, estate=self.estate)
+        self.eval_runner = EvalRunner(
+            model, config, estate=self.estate, mesh=self.mesh
+        )
         self._train_step = None
         self._train_step_frozen = None
 
@@ -130,6 +143,45 @@ class Trainer:
                 self.estate["dhe_key_parts"] = split_keys(
                     self.dhe_hasher.keys
                 )
+
+    # ------------------------------------------------------------ mesh
+
+    def _place_state_on_mesh(self) -> None:
+        """Commit params/extra-vars/opt-state to the mesh: big tables
+        row-sharded on 'model' (param_sharding rule), optimizer subtrees
+        mirroring their params (exact treedef alignment), the rest
+        replicated. jit then compiles SPMD from the committed shardings."""
+        import jax.numpy as _jnp  # noqa: F401
+
+        from oovrec_tpu.parallel.mesh import param_sharding, replicated
+        from oovrec_tpu.parallel.train_step import opt_state_sharding
+
+        threshold = int(self.config.get("row_shard_threshold") or 4096)
+        params = self.variables["params"]
+        self._p_shard = param_sharding(self.mesh, params, threshold)
+        params = jax.tree.map(jax.device_put, params, self._p_shard)
+        extra = {k: v for k, v in self.variables.items() if k != "params"}
+        if extra:
+            extra = jax.tree.map(
+                jax.device_put, extra, replicated(self.mesh, extra)
+            )
+        self.variables = dict(extra, params=params)
+        self._o_shard = opt_state_sharding(
+            self.mesh, self.opt_state, self._p_shard
+        )
+        self.opt_state = jax.tree.map(
+            jax.device_put, self.opt_state, self._o_shard
+        )
+
+    def _place_batch(self, db):
+        """Host batch → device ('data'-sharded when a mesh is active,
+        with zero-row padding up to the data-axis multiple; padded rows
+        carry weight 0 so every loss/metric ignores them)."""
+        if self.mesh is None:
+            return db
+        from oovrec_tpu.parallel.mesh import place_batch
+
+        return place_batch(self.mesh, db)
 
     # ------------------------------------------------------------ steps
 
@@ -208,6 +260,12 @@ class Trainer:
         extra_vars = {k: v for k, v in self.variables.items() if k != "params"}
         opt_state = self.opt_state
         estate = _device_estate(self.estate)
+        if self.mesh is not None and estate:
+            from oovrec_tpu.parallel.mesh import replicated
+
+            estate = jax.tree.map(
+                jax.device_put, estate, replicated(self.mesh, estate)
+            )
         total_loss = None
         losses = []
         n_examples = 0
@@ -225,12 +283,17 @@ class Trainer:
                         self.dhe_hasher.annotate_batch(
                             batch, f, spec.prime_pad, padded_when_flagged=True
                         )
-            db = to_device_batch(batch)
+            db = self._place_batch(to_device_batch(batch))
             rng = jax.random.fold_in(self._dropout_key, self._global_step)
             self._global_step += 1
             loss, params, new_vars, opt_state = step(
                 params, extra_vars, opt_state, db, estate, rng
             )
+            # keep the live params visible to concurrent readers — the
+            # dynamic hard-negative scorer reads them per batch (the
+            # reference scores with the live model, train_data.get_model);
+            # donation is disabled in dynamic mode so this is safe
+            self._live_params = params
             if "batch_stats" in new_vars:
                 extra_vars = dict(extra_vars, batch_stats=new_vars["batch_stats"])
             # do NOT block on the loss here: keeping it a device value lets
@@ -304,9 +367,10 @@ class Trainer:
                     {"params": params}, b, {}, method=model.predict
                 )
 
+            self._live_params = self.variables["params"]
             train_loader.set_model_scorer(
                 lambda u, i: _score(
-                    self.variables["params"],
+                    self._live_params,
                     jnp.asarray(u.astype(np.int32)),
                     jnp.asarray(i.astype(np.int32)),
                 )
@@ -472,7 +536,16 @@ class Trainer:
 
     def _save_checkpoint(self, epoch: int, path: Optional[str] = None):
         """Full state: config, epoch, best score, params, opt state, estate
-        (`_save_checkpoint`, `trainer.py:294-317`). Only process 0 writes."""
+        (`_save_checkpoint`, `trainer.py:294-317`). Sharded arrays are
+        gathered to host first (a collective every process joins); only
+        process 0 writes — the reference's rank-0-only save."""
+        from oovrec_tpu.parallel.mesh import host_copy
+
+        params_host = host_copy(self.variables["params"])
+        extra_host = host_copy(
+            {k: v for k, v in self.variables.items() if k != "params"}
+        )
+        opt_host = host_copy(self.opt_state)
         if jax.process_index() != 0:
             return
         state = {
@@ -480,11 +553,9 @@ class Trainer:
             "epoch": epoch,
             "cur_step": self.cur_step,
             "best_valid_score": self.best_valid_score,
-            "params": serialization.to_bytes(self.variables["params"]),
-            "extra_vars": serialization.to_bytes(
-                {k: v for k, v in self.variables.items() if k != "params"}
-            ),
-            "opt_state": serialization.to_bytes(self.opt_state),
+            "params": serialization.to_bytes(params_host),
+            "extra_vars": serialization.to_bytes(extra_host),
+            "opt_state": serialization.to_bytes(opt_host),
             "estate": {k: np.asarray(v) for k, v in self.estate.items()},
         }
         with open(path or self.saved_model_file, "wb") as f:
@@ -510,32 +581,34 @@ class Trainer:
             self.start_epoch = state["epoch"] + 1
             self.cur_step = state["cur_step"]
             self.best_valid_score = state["best_valid_score"]
+        if self.mesh is not None:
+            # checkpoints hold full host arrays; re-commit them to the mesh
+            # so subsequent steps keep compiling SPMD from known shardings
+            self._place_state_on_mesh()
         return state
 
 
 def _select_opt_state(mask, old_state, new_state, params=None):
     """Per-leaf select between old/new optimizer state for frozen params.
 
-    Optimizer states embed param-structured subtrees (adam mu/nu, rss sums);
-    a state leaf belongs to param P iff its key path ends with P's key path.
-    Frozen params (mask False) keep their OLD state leaves — the exact
-    behavior of torch skipping None-grad params; structural leaves (step
-    counts, empty states) always take the new value.
+    Optimizer states embed param-structured subtrees (adam mu/nu, rss
+    sums) whose treedef is identical to the parameter treedef — the exact
+    alignment key (utils/tree_align.py). Frozen params (mask False) keep
+    their OLD state leaves — the exact behavior of torch skipping
+    None-grad params; structural leaves (step counts, empty states)
+    always take the new value.
     """
-    mask_by_path = {}
-    jax.tree_util.tree_map_with_path(
-        lambda p, m: mask_by_path.__setitem__(jax.tree_util.keystr(p), bool(m)),
+    from oovrec_tpu.utils.tree_align import map_param_subtrees
+
+    return map_param_subtrees(
         mask,
+        lambda new_sub, old_sub: jax.tree.map(
+            lambda m, n, o: n if m else o, mask, new_sub, old_sub
+        ),
+        lambda new_leaf, _old_leaf: new_leaf,
+        new_state,
+        old_state,
     )
-
-    def sel(path, new_leaf, old_leaf):
-        ps = jax.tree_util.keystr(path)
-        for param_path, m in mask_by_path.items():
-            if ps.endswith(param_path):
-                return new_leaf if m else old_leaf
-        return new_leaf
-
-    return jax.tree_util.tree_map_with_path(sel, new_state, old_state)
 
 
 def get_trainer(model_type=None, model_name: str = "") -> type:

@@ -185,7 +185,14 @@ def import_reference_checkpoint(model_name: str, path: str) -> Dict[str, Any]:
     state_dict (requires torch to unpickle)."""
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        # safe path first: tensors-only unpickling, no code execution
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # legacy reference checkpoints pickle whole Config objects; this
+        # fallback executes pickled code, so it is only appropriate for
+        # checkpoints the user trained themselves / trusts
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt["state_dict"] if "state_dict" in ckpt else ckpt
     return import_state_dict(
         model_name, {k: v.numpy() for k, v in sd.items()}
