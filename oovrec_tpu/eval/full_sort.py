@@ -83,6 +83,94 @@ def mask_and_topk(
     return topk_idx, pos_idx, slice_pos_len
 
 
+def variant_topk(
+    scores: jnp.ndarray,        # (U, N) raw scores
+    hist_items: jnp.ndarray,    # (U, H) padded with 0
+    hist_len: jnp.ndarray,      # (U,)
+    pos_items: jnp.ndarray,     # (U, P) padded with 0
+    pos_len: jnp.ndarray,       # (U,)
+    maxk: int,
+    perms: jnp.ndarray,         # (V, N) per-variant tie-break permutations
+    item_masks: jnp.ndarray,    # (V, N) per-variant 1 = keep column
+):
+    """All V slice variants of one score matrix in a single fused pass.
+
+    The 7-slice inductive evaluator needs top-k of the SAME masked scores
+    under V item-mask/permutation variants (full / old-items / new-items,
+    `collector_filter.py:157-177` + `filtered_collector.py:38-55`). Doing
+    that as V independent `mask_and_topk` calls re-compiles and re-executes
+    the PAD/history scatter and the positive-matrix scatter V times; here
+    they run once and only the cheap mask+top_k tail is vmapped over the
+    variant axis, so XLA compiles one batched top_k instead of V.
+
+    Returns (topk_idx, pos_idx, slice_pos_len) with leading axis V.
+    """
+    U, N = scores.shape
+    P = pos_items.shape[1]
+    row = jnp.arange(U)[:, None]
+
+    masked = apply_masks(scores, hist_items, hist_len)       # once
+    pos_valid = jnp.arange(P)[None, :] < pos_len[:, None]
+    pos_matrix = jnp.zeros((U, N), jnp.int32)
+    pos_matrix = pos_matrix.at[row, pos_items].max(
+        pos_valid.astype(jnp.int32)
+    )
+    pos_matrix = pos_matrix.at[:, 0].set(0)                   # once
+
+    k_eff = min(maxk, N)
+
+    def one(perm, imask):
+        s = jnp.where(imask[None, :] > 0, masked, NEG_INF)
+        _, topk_p = jax.lax.top_k(s[:, perm], k_eff)
+        topk_idx = perm[topk_p]
+        # indices outside the slice can only surface when the slice has
+        # fewer than k live columns; the gather below must not count them
+        in_slice = imask[topk_idx] > 0
+        pos_idx = jnp.take_along_axis(pos_matrix, topk_idx, axis=1)
+        pos_idx = jnp.where(in_slice, pos_idx, 0)
+        slice_pos_len = jnp.sum(
+            pos_valid & (imask[pos_items] > 0), axis=1
+        )
+        return topk_idx, pos_idx, slice_pos_len
+
+    topk_idx, pos_idx, slice_len = jax.vmap(one)(perms, item_masks)
+    if k_eff < maxk:
+        V = perms.shape[0]
+        pad = jnp.zeros((V, U, maxk - k_eff), topk_idx.dtype)
+        topk_idx = jnp.concatenate([topk_idx, pad], axis=2)
+        pos_idx = jnp.concatenate([pos_idx, pad.astype(pos_idx.dtype)], axis=2)
+    return topk_idx, pos_idx, slice_len
+
+
+def variant_matrix_topk(
+    mat: jnp.ndarray,           # (U, N) pre-scattered scores (−inf unscored)
+    pos_matrix: jnp.ndarray,    # (U, N) 0/1 positives
+    maxk: int,
+    perms: jnp.ndarray,         # (V, N)
+    item_masks: jnp.ndarray,    # (V, N)
+):
+    """`variant_topk` for the sampled-negative path: V slice variants of
+    one pre-scattered score matrix in a single vmapped top_k."""
+    U, N = mat.shape
+    k_eff = min(maxk, N)
+
+    def one(perm, imask):
+        m = jnp.where(imask[None, :] > 0, mat, NEG_INF)
+        pm = pos_matrix * imask[None, :]
+        _, topk_p = jax.lax.top_k(m[:, perm], k_eff)
+        topk_idx = perm[topk_p]
+        pos_idx = jnp.take_along_axis(pm, topk_idx, axis=1)
+        return topk_idx, pos_idx, jnp.sum(pm, axis=1)
+
+    topk_idx, pos_idx, pos_len = jax.vmap(one)(perms, item_masks)
+    if k_eff < maxk:
+        V = perms.shape[0]
+        pad = jnp.zeros((V, U, maxk - k_eff), topk_idx.dtype)
+        topk_idx = jnp.concatenate([topk_idx, pad], axis=2)
+        pos_idx = jnp.concatenate([pos_idx, pad.astype(pos_idx.dtype)], axis=2)
+    return topk_idx, pos_idx, pos_len
+
+
 def matrix_topk(
     mat: jnp.ndarray,           # (U, N) score matrix (−inf where unscored)
     pos_matrix: jnp.ndarray,    # (U, N) 0/1 positives

@@ -41,7 +41,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from oovrec_tpu.eval.collector import Collector, Evaluator
-from oovrec_tpu.eval.full_sort import mask_and_topk
 from oovrec_tpu.eval.runner import to_device_batch, _device_estate
 from oovrec_tpu.utils.seeding import host_rng
 
@@ -63,6 +62,7 @@ class InductiveEvaluator:
         self.maxk = max(config["topk"])
         self.use_perturbed = bool(config.get("use_perturbed_hits", True))
         self._step = None
+        self._fused = False
         self._all_items = None
         self._rng = host_rng(int(config["seed"] or 2020), "perturbed_hits")
         self.dhe_hasher = None
@@ -86,30 +86,143 @@ class InductiveEvaluator:
     # ------------------------------------------------------------ device
 
     def _make_step(self):
+        """One jitted pass computing ALL four item variants.
+
+        The PAD/history masking and the positive scatter run once; the
+        variant tail (item mask + permuted top_k) is vmapped over a
+        stacked (4, N) perm/mask axis (`variant_topk`), so XLA compiles a
+        single batched top_k instead of four unrolled `mask_and_topk`
+        bodies — the compile-time fix for the 7-slice evaluator."""
         model, maxk = self.model, self.maxk
 
         @jax.jit
-        def step(variables, batch, all_item_e, estate, perms, old_mask):
+        def step(variables, batch, all_item_e, estate, perms, imasks):
             scores = model.apply(
                 variables, batch, all_item_e, estate,
                 method=model.score_against,
             )
-            args = (
+            from oovrec_tpu.eval.full_sort import variant_topk
+
+            ti, pi, plen = variant_topk(
+                scores,
                 batch["hist_items"], batch["hist_len"],
                 batch["pos_items"], batch["pos_len"],
+                maxk, perms, imasks,
             )
-            new_mask = 1 - old_mask
-            out = {
-                "overall": mask_and_topk(scores, *args, maxk),
-                "full": mask_and_topk(scores, *args, maxk, perm=perms["full"]),
-                "old": mask_and_topk(
-                    scores, *args, maxk, perm=perms["old"], item_mask=old_mask
-                ),
-                "new": mask_and_topk(
-                    scores, *args, maxk, perm=perms["new"], item_mask=new_mask
-                ),
+            return {
+                v: (ti[i], pi[i], plen[i])
+                for i, v in enumerate(("overall", "full", "old", "new"))
             }
-            return out
+
+        return step
+
+    def _use_fused(self, n_ext: int) -> bool:
+        """Mirror of `EvalRunner._use_fused`: block-candidate Pallas
+        scoring for two-tower models on large corpora."""
+        flag = self.config.get("use_fused_topk", "auto")
+        if flag is False:
+            return False
+        supported = hasattr(self.model, "user_tower")
+        if flag == "auto":
+            return (
+                supported
+                and n_ext >= 100_000
+                and jax.devices()[0].platform != "cpu"
+            )
+        return bool(flag) and supported
+
+    def _make_fused_step(self, n_ext: int, interpret: bool = False):
+        """Block-candidate (Pallas) variant of `_make_step` for large
+        corpora: no (B, N) score matrix ever materializes.
+
+        The old/new item split partitions each item block, so per-class
+        kernel passes give exact slice top-ks AND the full-corpus top-k
+        for free: top-k(old ∪ new) ⊆ top-k(old) ∪ top-k(new), so the
+        `full`/`overall` variants are a 2k-candidate merge. Four kernel
+        invocations per batch (old/new × unpermuted/permuted) — one
+        compiled kernel, shapes identical — replace the dense path's
+        4 full-width top_ks. Perturbed tie-breaking is exact: the item
+        axis is permuted BEFORE blocking (item rows gathered through
+        `perm`, history/class bitmaps rebuilt in permuted coordinates),
+        one shared permutation per batch across the three perturbed
+        variants (the reference draws independent ones per collector —
+        statistically equivalent, `filtered_collector.py:38-55`)."""
+        from oovrec_tpu.ops.topk_score import (
+            NEG_INF as K_NEG_INF,
+            build_hist_bitmap,
+            fused_topk_scores,
+            pack_bitplane,
+        )
+
+        model, maxk = self.model, self.maxk
+        n_old = self.n_old_items
+        tn = 4096
+
+        def merge(va, ia, vb, ib):
+            v = jnp.concatenate([va, vb], axis=1)
+            i = jnp.concatenate([ia, ib], axis=1)
+            tv, p = jax.lax.top_k(v, maxk)
+            return tv, jnp.take_along_axis(i, p, axis=1)
+
+        def hits(topk_idx, topk_val, pos_items, pos_valid):
+            live = topk_val > K_NEG_INF / 2  # excluded-column candidates
+            hit = (topk_idx[:, :, None] == pos_items[:, None, :]) \
+                & pos_valid[:, None, :]
+            return (jnp.any(hit, axis=-1) & live).astype(jnp.int32)
+
+        @jax.jit
+        def step(variables, batch, all_item_e, estate, perm):
+            user_e = model.apply(
+                variables, batch, estate, method=model.user_tower
+            )
+            ids = jnp.arange(n_ext)
+            old_keep = (ids >= 1) & (ids < n_old)
+            new_keep = ids >= n_old
+            xo = pack_bitplane(~old_keep, tn)[None, :]  # excl for old slice
+            xn = pack_bitplane(~new_keep, tn)[None, :]
+            bm = build_hist_bitmap(
+                batch["hist_items"], batch["hist_len"], n_ext, tn=tn,
+                exclude_col0=False,
+            )
+            fused = lambda it, b: fused_topk_scores(
+                user_e, it, b, k=maxk, tn=tn, interpret=interpret
+            )
+            v_o0, i_o0 = fused(all_item_e, bm | xo)
+            v_n0, i_n0 = fused(all_item_e, bm | xn)
+            v_all0, i_all0 = merge(v_o0, i_o0, v_n0, i_n0)
+
+            inv = jnp.zeros((n_ext,), jnp.int32).at[perm].set(
+                jnp.arange(n_ext, dtype=jnp.int32)
+            )
+            item_p = all_item_e[perm]
+            bm_p = build_hist_bitmap(
+                inv[batch["hist_items"]], batch["hist_len"], n_ext, tn=tn,
+                exclude_col0=False,
+            )
+            xo_p = pack_bitplane(~old_keep[perm], tn)[None, :]
+            xn_p = pack_bitplane(~new_keep[perm], tn)[None, :]
+            v_op, i_op = fused(item_p, bm_p | xo_p)
+            v_np_, i_np_ = fused(item_p, bm_p | xn_p)
+            i_op, i_np_ = perm[i_op], perm[i_np_]
+            v_allp, i_allp = merge(v_op, i_op, v_np_, i_np_)
+
+            pos, plen = batch["pos_items"], batch["pos_len"]
+            P = pos.shape[1]
+            pos_valid = jnp.arange(P)[None, :] < plen[:, None]
+            pv_old = pos_valid & (pos >= 1) & (pos < n_old)
+            pv_new = pos_valid & (pos >= n_old)
+            plen_old = jnp.sum(pv_old, axis=1)
+            plen_new = jnp.sum(pv_new, axis=1)
+            return {
+                "overall": (
+                    i_all0, hits(i_all0, v_all0, pos, pos_valid), plen
+                ),
+                "full": (
+                    i_allp, hits(i_allp, v_allp, pos, pos_valid), plen
+                ),
+                "old": (i_op, hits(i_op, v_op, pos, pv_old), plen_old),
+                "new": (i_np_, hits(i_np_, v_np_, pos, pv_new), plen_new),
+            }
 
         return step
 
@@ -135,6 +248,26 @@ class InductiveEvaluator:
             item_dhe,
         )
 
+    def _variant_perms_masks(self, n_ext: int):
+        """Stacked (4, N) tie-break permutations + item masks for the
+        (overall, full, old, new) variant axis. `overall` is unperturbed
+        (identity — the base Collector's semantics); the three perturbed
+        variants draw fresh permutations per batch
+        (`filtered_collector.py:38-55`)."""
+        identity = np.arange(n_ext)
+        if self.use_perturbed:
+            draw = self._rng.permutation
+            perms = np.stack(
+                [identity, draw(n_ext), draw(n_ext), draw(n_ext)]
+            )
+        else:
+            perms = np.broadcast_to(identity, (4, n_ext)).copy()
+        ar = np.arange(n_ext)
+        ones = np.ones(n_ext, np.int32)
+        old = (ar < self.n_old_items).astype(np.int32)
+        imasks = np.stack([ones, ones, old, 1 - old])
+        return jnp.asarray(perms), jnp.asarray(imasks)
+
     # ------------------------------------------------------------ driver
 
     def evaluate_model(self, variables, test_loader, show_progress=False):
@@ -158,25 +291,35 @@ class InductiveEvaluator:
         estate = _device_estate(self.estate)
         all_item_e = self._all_item_embeddings(variables, n_ext, estate)
         if self._step is None:
-            self._step = self._make_step()
+            self._fused = self._use_fused(n_ext)
+            if self._fused:
+                self._step = self._make_fused_step(
+                    n_ext,
+                    interpret=jax.devices()[0].platform == "cpu",
+                )
+            else:
+                self._step = self._make_step()
 
-        old_mask = jnp.asarray(
-            (np.arange(n_ext) < self.n_old_items).astype(np.int32)
-        )
         collectors = {s: Collector(self.config) for s in SLICES}
 
         for batch in test_loader:
             db = self._annotate_users(batch)
             ddb = to_device_batch(db)
-            if self.use_perturbed:
-                perms = {
-                    k: jnp.asarray(self._rng.permutation(n_ext))
-                    for k in ("full", "old", "new")
-                }
+            if self._fused:
+                perm = (
+                    self._rng.permutation(n_ext)
+                    if self.use_perturbed
+                    else np.arange(n_ext)
+                )
+                out = self._step(
+                    variables, ddb, all_item_e, estate,
+                    jnp.asarray(perm, jnp.int32),
+                )
             else:
-                ar = jnp.arange(n_ext)
-                perms = {"full": ar, "old": ar, "new": ar}
-            out = self._step(variables, ddb, all_item_e, estate, perms, old_mask)
+                perms, imasks = self._variant_perms_masks(n_ext)
+                out = self._step(
+                    variables, ddb, all_item_e, estate, perms, imasks
+                )
 
             users = np.asarray(batch["user_id"])
             w = np.asarray(batch["weight"]) > 0
@@ -215,9 +358,9 @@ class InductiveEvaluator:
     def _evaluate_sampled(self, variables, test_loader):
         """Retrieval slices over scattered uni-N score matrices."""
         from oovrec_tpu.eval.full_sort import (
-            matrix_topk,
             positives_matrix,
             scatter_scores,
+            variant_matrix_topk,
         )
         from oovrec_tpu.eval.runner import to_device_batch
 
@@ -227,7 +370,7 @@ class InductiveEvaluator:
         estate = _device_estate(self.estate)
 
         @jax.jit
-        def step(variables, batch, estate, perms, old_mask):
+        def step(variables, batch, estate, perms, imasks):
             scores = model.apply(variables, batch, estate, method=model.predict)
             mat = scatter_scores(
                 batch["row_user"], batch[model.iid_field], scores,
@@ -238,34 +381,18 @@ class InductiveEvaluator:
                 batch["positive_u"], batch["positive_i"],
                 batch["positive_weight"], n_users, n_ext,
             )
-            new_mask = 1 - old_mask
+            ti, pi, plen = variant_matrix_topk(mat, pos, maxk, perms, imasks)
             return {
-                "overall": matrix_topk(mat, pos, maxk),
-                "full": matrix_topk(mat, pos, maxk, perm=perms["full"]),
-                "old": matrix_topk(
-                    mat, pos, maxk, perm=perms["old"], item_mask=old_mask
-                ),
-                "new": matrix_topk(
-                    mat, pos, maxk, perm=perms["new"], item_mask=new_mask
-                ),
+                v: (ti[i], pi[i], plen[i])
+                for i, v in enumerate(("overall", "full", "old", "new"))
             }
 
-        old_mask = jnp.asarray(
-            (np.arange(n_ext) < self.n_old_items).astype(jnp.int32)
-        )
         collectors = {s: Collector(self.config) for s in SLICES}
         for batch in test_loader:
             batch = self._annotate_rows(batch)
             db = to_device_batch(batch)
-            if self.use_perturbed:
-                perms = {
-                    k: jnp.asarray(self._rng.permutation(n_ext))
-                    for k in ("full", "old", "new")
-                }
-            else:
-                ar = jnp.arange(n_ext)
-                perms = {"full": ar, "old": ar, "new": ar}
-            out = step(variables, db, estate, perms, old_mask)
+            perms, imasks = self._variant_perms_masks(n_ext)
+            out = step(variables, db, estate, perms, imasks)
 
             slot_users = np.asarray(batch["slot_users"])
             w = np.arange(n_users) < int(batch["n_users"])

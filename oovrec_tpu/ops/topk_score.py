@@ -170,11 +170,15 @@ def build_hist_bitmap(
     hist_len: jnp.ndarray,    # (B,)
     n_items: int,
     tn: int = 1024,
+    exclude_col0: bool = True,
 ) -> jnp.ndarray:
     """Bit-plane exclusion bitmap: history bits ∪ PAD column 0 ∪ pad tail.
 
     Layout matches `fused_topk_scores(tn=tn)`: within each tn-item block
     (W_b = tn/32 words), item l sets bit (l // W_b) of word (l % W_b).
+    `exclude_col0=False` skips the PAD-column bit — used when the item
+    axis is permuted (the PAD item no longer sits at position 0; its
+    exclusion then rides in the caller's class bitmap instead).
     """
     tn = _resolve_tn(tn, n_items)
     B, H = hist_items.shape
@@ -189,9 +193,27 @@ def build_hist_bitmap(
     # histories are unique per row
     bm = jnp.zeros((B, W), jnp.int32).at[rows, word].add(contrib)
     # PAD column 0 + padded tail [n_items, Np) always excluded
-    extra = jnp.concatenate(
-        [jnp.array([0]), jnp.arange(n_items, Np)]
+    first = jnp.array([0], jnp.int32) if exclude_col0 else jnp.zeros(
+        (0,), jnp.int32
     )
+    extra = jnp.concatenate([first, jnp.arange(n_items, Np)])
     ew, eb = _plane_coords(extra, tn)
     tail = jnp.zeros((W,), jnp.int32).at[ew].add(jnp.int32(1) << eb)
     return bm | tail[None, :]
+
+
+def pack_bitplane(mask: jnp.ndarray, tn: int = 1024) -> jnp.ndarray:
+    """Pack a dense (N,) 0/1 exclusion mask into the (W,) bit-plane word
+    vector used by `fused_topk_scores` (1 bit per item, tn-dependent
+    layout). Pure reshape+shift — no scatter: within each tn-block, item
+    l = bit·W_b + word, so a (n_blocks, 32, W_b) reshape puts every bit
+    plane on its own axis."""
+    n = mask.shape[0]
+    tn = _resolve_tn(tn, n)
+    n_blocks = _cdiv(n, tn)
+    Np = n_blocks * tn
+    wb = tn // 32
+    m = jnp.zeros((Np,), jnp.int32).at[:n].set(mask.astype(jnp.int32))
+    m = m.reshape(n_blocks, 32, wb)
+    shifts = jnp.arange(32, dtype=jnp.int32)[None, :, None]
+    return jnp.sum(m << shifts, axis=1, dtype=jnp.int32).reshape(-1)

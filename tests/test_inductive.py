@@ -257,6 +257,27 @@ def test_inductive_eval_seven_slices(tmp_path):
             assert 0.0 <= v <= 1.0
 
 
+def test_inductive_eval_fused_matches_dense(tmp_path):
+    """The block-candidate Pallas path (`_make_fused_step`, interpret mode
+    on CPU) must reproduce the dense 4-variant path exactly when
+    tie-breaking is deterministic (use_perturbed_hits=False → identity
+    permutation on both paths, ties resolve to lowest index)."""
+    cfg = _ind_cfg(checkpoint_dir=str(tmp_path), use_perturbed_hits=False)
+    res = run(config_dict=cfg, saved=True)
+    dense = perform_inductive_eval(
+        res["dataset"], res["trainer"].saved_model_file, config=res["config"]
+    )
+    res["config"]["use_fused_topk"] = True
+    fused = perform_inductive_eval(
+        res["dataset"], res["trainer"].saved_model_file, config=res["config"]
+    )
+    assert set(dense) == set(fused)
+    for s in dense:
+        assert set(dense[s]) == set(fused[s]), s
+        for m, v in dense[s].items():
+            assert abs(v - fused[s][m]) < 1e-9, (s, m, v, fused[s][m])
+
+
 def test_inductive_eval_lsh(tmp_path):
     cfg = _ind_cfg(
         checkpoint_dir=str(tmp_path),

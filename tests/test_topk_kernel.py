@@ -74,3 +74,21 @@ def test_bitmap_builder_plane_layout():
         assert bit_at(row, bm.shape[1] * 32 - 1) == 1
     # a random in-range unmasked item
     assert bit_at(1, 100) == 0
+
+
+def test_pack_bitplane_matches_plane_coords():
+    """pack_bitplane's reshape/shift layout must agree bit-for-bit with
+    the scatter-based `_plane_coords` convention the kernel reads."""
+    from oovrec_tpu.ops.topk_score import pack_bitplane
+
+    tn = 256
+    n = 300
+    rng = np.random.default_rng(7)
+    mask = rng.integers(0, 2, n).astype(np.int32)
+    packed = np.asarray(pack_bitplane(jnp.asarray(mask), tn=tn))
+    for item in rng.choice(n, 64, replace=False):
+        w, b = _plane_coords(jnp.asarray([int(item)]), tn)
+        assert ((packed[int(w[0])] >> int(b[0])) & 1) == mask[item], item
+    # padded tail stays zero (exclusion there is the hist bitmap's job)
+    wpad, bpad = _plane_coords(jnp.asarray([n]), tn)
+    assert ((packed[int(wpad[0])] >> int(bpad[0])) & 1) == 0
