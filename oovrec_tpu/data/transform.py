@@ -67,6 +67,6 @@ def construct_transform(config, n_items: Optional[int] = None):
     name = config.get("transform")
     if not name or name == "Equal":
         return Equal()
-    if name == "MaskItemSequence":
+    if name in ("MaskItemSequence", "mask_itemseq"):
         return MaskItemSequence(config, n_items)
     raise NotImplementedError(f"transform [{name}] is not implemented")
