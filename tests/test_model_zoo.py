@@ -18,7 +18,7 @@ GENERAL = ["BPR", "DirectAU", "Pop", "Random", "ItemKNN", "NeuMF",
 CONTEXT = ["LR", "FM", "DeepFM", "WideDeep", "DCNV2", "xDeepFM",
            "DCN", "AutoInt", "FNN", "PNN", "AFM", "FwFM", "FFM",
            "DSSM", "FiGNN", "EulerNet", "NFM", "KD_DAGFM"]
-SEQUENTIAL = ["GRU4Rec", "SASRec", "NARM", "STAMP", "FPMC", "Caser",
+SEQUENTIAL = ["GRU4Rec", "SASRec", "BERT4Rec", "NARM", "STAMP", "FPMC", "Caser",
               "NextItNet", "DIN", "DIEN", "HGN", "FOSSIL", "TransRec",
               "SHAN", "NPE", "HRM", "CORE", "SRGNN", "GCSAN", "LightSANs",
               "SINE", "GRU4RecF", "SASRecF", "FDSA", "RepeatNet",
