@@ -80,9 +80,116 @@ def make_sharded_lookup(mesh: Mesh):
     return lookup
 
 
+def make_alltoall_lookup(mesh: Mesh, capacity_factor: float = 2.0):
+    """True all-to-all variant of `make_sharded_lookup` (same signature:
+    ids replicated along 'model', (B, D) out) — the upgrade point noted in
+    the module docstring.
+
+    Exchange per model group of size S (batch slice b = B/data):
+      1. each model shard takes its b/S slice of the batch and sorts the
+         ids by owning shard (owner = id % S),
+      2. a (S, C) id all_to_all requests rows from their owners
+         (C = capacity_factor · b/S² per destination),
+      3. owners gather the rows locally and a (S, C, D) all_to_all
+         returns them; an inverse permutation restores batch order,
+      4. an all_gather over 'model' reassembles the (b, D) block.
+
+    Traffic per device ≈ C·S·D + b·D/S·(S-1)  ≈  b·D·(f/S + 1), vs the
+    psum path's all-reduce ≈ 2·b·D — about half at f=2, and the b·D/S
+    ideal once callers keep the batch 'model'-sharded downstream (then
+    step 4 disappears).
+
+    Ids whose destination bucket overflows C receive ZERO rows and are
+    counted in the second return value (per-device overflow total, psum'd)
+    — callers treat nonzero overflow as a sizing error. With mod-sharding
+    of remapped contiguous ids, ownership of a batch is near-binomial, so
+    f=2 puts overflow below ~1e-9 for b/S² ≳ 64; popularity skew does not
+    concentrate mod S.
+    """
+
+    def _local(table_local, ids):
+        S = jax.lax.axis_size("model")
+        s = jax.lax.axis_index("model")
+        b = ids.shape[0]
+        assert b % S == 0, (
+            f"per-data-shard batch {b} must divide the model axis {S}"
+        )
+        bs = b // S
+        C = max(1, int(np.ceil(capacity_factor * bs / S)))
+        tl = table_local[0]
+        D = tl.shape[1]
+
+        my_ids = jax.lax.dynamic_slice(ids, (s * bs,), (bs,))
+        owner = my_ids % S
+        local_idx = my_ids // S
+        order = jnp.argsort(owner)  # stable: ties keep batch order
+        s_owner = owner[order]
+        s_local = local_idx[order]
+        # rank within the destination group
+        start = jnp.searchsorted(s_owner, jnp.arange(S))
+        pos = jnp.arange(bs) - start[s_owner]
+        valid = pos < C
+
+        # (S+1, C) so overflow entries land in a discard row
+        buf = jnp.zeros((S + 1, C), my_ids.dtype)
+        buf = buf.at[
+            jnp.where(valid, s_owner, S), jnp.where(valid, pos, 0)
+        ].set(s_local, mode="drop")
+        req = jax.lax.all_to_all(
+            buf[:S], "model", split_axis=0, concat_axis=0, tiled=True
+        )  # (S, C): row t = local row indices peer t asks of me
+        rows = tl[jnp.clip(req.reshape(-1), 0, tl.shape[0] - 1)]
+        resp = jax.lax.all_to_all(
+            rows.reshape(S, C, D), "model",
+            split_axis=0, concat_axis=0, tiled=True,
+        )  # (S, C, D): row t = rows owner t returned for my requests
+        got_sorted = resp[s_owner, jnp.where(valid, pos, 0)]
+        got_sorted = got_sorted * valid[:, None].astype(got_sorted.dtype)
+        block = jnp.zeros((bs, D), got_sorted.dtype).at[order].set(got_sorted)
+
+        out = jax.lax.all_gather(
+            block, "model", axis=0, tiled=True
+        )  # (b, D) in batch order
+        overflow = jax.lax.psum(jnp.sum(~valid), "model")
+        return out, overflow
+
+    lookup = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P("model", None, None), P("data")),
+        out_specs=(P("data"), P()),
+        check_vma=False,
+    )
+    return lookup
+
+
 def place_sharded_table(mesh: Mesh, table: np.ndarray) -> jax.Array:
     S = shard_count(mesh)
     layout = to_sharded_layout(np.asarray(table), S)
     return jax.device_put(
         layout, NamedSharding(mesh, P("model", None, None))
     )
+
+
+def make_lookup(mesh: Mesh, kind: str = "auto",
+                capacity_factor: float = 2.0):
+    """Strategy selector (config key `sharded_lookup: auto|psum|alltoall`).
+
+    Traffic per device: psum all-reduce ≈ 2·b·D·(S−1)/S; all-to-all ≈
+    b·D·(f/S + (S−1)/S) with the trailing all_gather. At S=2 those are
+    ≈b·D vs ≈1.5·b·D (psum wins); at S=4 ≈1.5·b·D vs ≈1.25·b·D and the
+    gap widens with S — so `auto` switches to all-to-all at S ≥ 4
+    (measured A/B in docs/DESIGN.md). All-to-all lookups return
+    (out, overflow); this wrapper normalizes both kinds to `out` and
+    asserts-by-construction that psum has no overflow path.
+    """
+    S = shard_count(mesh)
+    if kind == "auto":
+        kind = "alltoall" if S >= 4 else "psum"
+    if kind == "psum":
+        f = make_sharded_lookup(mesh)
+        return lambda table, ids: f(table, ids)
+    if kind == "alltoall":
+        f = make_alltoall_lookup(mesh, capacity_factor)
+        return lambda table, ids: f(table, ids)[0]
+    raise ValueError(f"unknown sharded_lookup kind [{kind}]")

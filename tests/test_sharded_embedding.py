@@ -55,3 +55,70 @@ def test_sharded_lookup_gradients():
     g_dense = jax.grad(loss_dense)(jnp.asarray(table))
     got = from_sharded_layout(np.asarray(g_sharded), V)
     np.testing.assert_allclose(got, np.asarray(g_dense), rtol=1e-5, atol=1e-6)
+
+
+def test_alltoall_lookup_matches_dense():
+    from oovrec_tpu.parallel.sharded_embedding import make_alltoall_lookup
+
+    mesh = make_mesh(2, 4)
+    rng = np.random.default_rng(3)
+    V, D, B = 37, 8, 64  # b = B/data = 32, divisible by S=4
+    table = rng.standard_normal((V, D)).astype(np.float32)
+    ids = rng.integers(0, V, B).astype(np.int32)
+    st = place_sharded_table(mesh, table)
+    lookup = make_alltoall_lookup(mesh, capacity_factor=8.0)
+    out, overflow = jax.jit(lookup)(st, jnp.asarray(ids))
+    assert int(overflow) == 0
+    np.testing.assert_allclose(np.asarray(out), table[ids], rtol=1e-6)
+
+
+def test_alltoall_lookup_gradients_match_psum_path():
+    from oovrec_tpu.parallel.sharded_embedding import make_alltoall_lookup
+
+    mesh = make_mesh(2, 4)
+    rng = np.random.default_rng(4)
+    V, D, B = 16, 4, 32
+    table = rng.standard_normal((V, D)).astype(np.float32)
+    ids = rng.integers(0, V, B).astype(np.int32)
+    st = place_sharded_table(mesh, table)
+    lookup = make_alltoall_lookup(mesh, capacity_factor=8.0)
+
+    def loss_sharded(t):
+        out, _ = lookup(t, jnp.asarray(ids))
+        return jnp.sum(out ** 2)
+
+    def loss_dense(t):
+        return jnp.sum(t[ids] ** 2)
+
+    g_sharded = jax.jit(jax.grad(loss_sharded))(st)
+    g_dense = jax.grad(loss_dense)(jnp.asarray(table))
+    got = from_sharded_layout(np.asarray(g_sharded), V)
+    np.testing.assert_allclose(got, np.asarray(g_dense), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_alltoall_lookup_overflow_counts():
+    """When a destination bucket exceeds capacity the excess ids must get
+    ZERO rows (never someone else's embedding) and be counted."""
+    from oovrec_tpu.parallel.sharded_embedding import make_alltoall_lookup
+
+    mesh = make_mesh(2, 4)
+    rng = np.random.default_rng(5)
+    V, D, B = 40, 4, 64
+    table = rng.standard_normal((V, D)).astype(np.float32)
+    # adversarial: every id owned by shard 0 (multiples of S=4)
+    ids = (rng.integers(0, V // 4, B).astype(np.int32)) * 4
+    st = place_sharded_table(mesh, table)
+    # capacity 1 per destination → per device slice bs=8 all to shard 0
+    lookup = make_alltoall_lookup(mesh, capacity_factor=0.5)
+    out, overflow = jax.jit(lookup)(st, jnp.asarray(ids))
+    assert int(overflow) > 0
+    out = np.asarray(out)
+    dense = table[ids]
+    # every row is either exact or exactly zero
+    for i in range(B):
+        assert (
+            np.allclose(out[i], dense[i], rtol=1e-6)
+            or np.allclose(out[i], 0.0)
+        )
+    assert np.any(np.all(out == 0.0, axis=1))
