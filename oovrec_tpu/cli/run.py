@@ -114,6 +114,22 @@ def main(argv=None) -> Dict[str, Any]:
             res["dataset"], trainer.saved_model_file, config=res["config"]
         )
         res["inductive_results"] = ind_results
+
+    if args.get("results_json"):
+        payload = {
+            "model": args["model"],
+            "dataset": args["dataset"],
+            "seed": res["config"]["seed"],
+            "test_result": {
+                k: float(v) for k, v in (res.get("test_result") or {}).items()
+            },
+            "inductive": {
+                s: {k: float(v) for k, v in r.items()}
+                for s, r in (res.get("inductive_results") or {}).items()
+            },
+        }
+        with open(args["results_json"], "w") as f:
+            json.dump(payload, f, indent=1)
     return res
 
 
