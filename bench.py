@@ -106,7 +106,7 @@ def measure(platform: str | None = None, steps: int = STEPS) -> float:
 ML1M_USERS = 6040
 ML1M_ITEMS = 3706
 ML1M_INTERS = 1_000_000
-EPOCH_SIG = f"epoch-bpr-ml1m-{ML1M_USERS}-{ML1M_ITEMS}-{ML1M_INTERS}"
+EPOCH_SIG = f"epoch-bpr-ml1m-{ML1M_USERS}-{ML1M_ITEMS}-{ML1M_INTERS}-deauto"
 
 
 def _bench_corpus_dir() -> str:
@@ -147,10 +147,14 @@ def _bench_corpus_dir() -> str:
     return os.path.dirname(root)
 
 
-def measure_epoch(platform: str | None = None, epochs: int = 2):
+def measure_epoch(platform: str | None = None, epochs: int = 2,
+                  device_epoch="auto"):
     """(train interactions/s, eval users/s) through the PRODUCTION
-    pipeline: create_dataset → TrainBatcher (host sampling/joins) →
-    Trainer's donated jitted step; EvalRunner full-sort for eval."""
+    pipeline: create_dataset → Trainer. With `device_epoch="auto"` the
+    eligible fast path (whole epoch as one scanned XLA program with
+    on-device negative sampling, train/device_epoch.py) engages at this
+    corpus size; `device_epoch=False` forces the host TrainBatcher
+    pipeline for comparison."""
     import jax
 
     if platform:
@@ -178,6 +182,7 @@ def measure_epoch(platform: str | None = None, epochs: int = 2):
         "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "TO",
                       "group_by": "user", "mode": "full"},
         "seed": 3,
+        "device_epoch": device_epoch,
         "verbose": False,
     })
     ds = create_dataset(config)
@@ -247,6 +252,11 @@ def main():
         print(json.dumps({"end_to_end_examples_per_s": round(train_eps, 1),
                           "eval_users_per_s": round(eval_ups, 1)}))
         return
+    if "--epoch-host-only" in sys.argv:  # host-pipeline A/B aid
+        train_eps, eval_ups = measure_epoch(device_epoch=False)
+        print(json.dumps({"end_to_end_host_examples_per_s": round(train_eps, 1),
+                          "eval_users_per_s": round(eval_ups, 1)}))
+        return
     eps = measure()
     try:
         base = cpu_baseline()
@@ -258,6 +268,10 @@ def main():
     except Exception:
         train_eps = eval_ups = float("nan")
     try:
+        host_eps, _ = measure_epoch(device_epoch=False)
+    except Exception:
+        host_eps = float("nan")
+    try:
         e2e_vs = train_eps / epoch_cpu_baseline()
     except Exception:
         e2e_vs = float("nan")
@@ -268,6 +282,8 @@ def main():
         "vs_baseline": round(vs, 2) if vs == vs else None,
         "end_to_end_examples_per_s":
             round(train_eps, 1) if train_eps == train_eps else None,
+        "end_to_end_host_pipeline_examples_per_s":
+            round(host_eps, 1) if host_eps == host_eps else None,
         "end_to_end_vs_cpu": round(e2e_vs, 2) if e2e_vs == e2e_vs else None,
         "eval_users_per_s":
             round(eval_ups, 1) if eval_ups == eval_ups else None,

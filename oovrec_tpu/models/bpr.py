@@ -21,6 +21,9 @@ from oovrec_tpu.utils.enums import InputType
 @register_model
 class BPR(GeneralRecommender):
     input_type = InputType.PAIRWISE
+    # calculate_loss consumes only (uid, iid, neg_iid, weight) → eligible
+    # for the device-resident epoch fast path (train/device_epoch.py)
+    supports_device_epoch = True
 
     def setup(self):
         self.user_embedding = nn.Embed(

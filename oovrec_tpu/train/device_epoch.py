@@ -1,0 +1,195 @@
+"""Device-resident training epochs for two-tower pairwise models.
+
+The host pipeline (per-batch index slice → numpy negative resampling →
+tile/pad → H2D transfer) caps BPR-family end-to-end throughput at a few
+hundred k examples/s while the jitted step alone sustains tens of M/s —
+the reference has the same shape of problem (per-batch pandas/python,
+`abstract_dataloader.py` + `sampler.py:147`), it just hides behind a GPU
+that is only ~10× faster than its host path.
+
+This module removes the host from the loop entirely for the models where
+that is possible: the epoch's (user, item) arrays live in HBM, each epoch
+is ONE compiled XLA program (`lax.scan` over steps, params/opt-state
+donated), and uniform negative sampling with used-id avoidance runs
+on-device against a packed (n_users, n_items/32) membership bitmap —
+the exact semantics of the host sampler's bounded masked resampling
+(`data/sampler.py:106-126`: uniform draws in [1, n_items), up to
+`_MAX_RESAMPLE_ROUNDS` redraw rounds for used pairs), with the RNG stream
+necessarily different (jax counter-based vs numpy host).
+
+Eligibility (`Trainer._device_epoch_ok`): pairwise mode, 1 uniform
+static negative, no feature joins, no batch transform, no DHE host
+hashing, single-device (the mesh path keeps the host pipeline which
+already shards per process). Gated by `device_epoch: auto|true|false` —
+`auto` enables at ≥100k interactions so tiny fixture runs keep the
+host path and its seeded trajectories.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oovrec_tpu.data.sampler import _MAX_RESAMPLE_ROUNDS
+
+AUTO_MIN_ROWS = 100_000
+
+
+def build_used_bitmap(per_user_used, n_users: int, n_items: int) -> np.ndarray:
+    """Pack the sampler's per-user used-item id lists into a
+    (n_users, ceil(n_items/32)) int32 bitmap (bit j of word w set ⇔ item
+    w*32+j is used by that user). Item 0 (PAD) is always marked used."""
+    W = -(-n_items // 32)
+    bm = np.zeros((n_users, W), np.uint32)
+    for u, items in enumerate(per_user_used):
+        if u >= n_users or len(items) == 0:
+            continue
+        it = np.asarray(items, np.int64)
+        np.bitwise_or.at(
+            bm[u], it >> 5, np.uint32(1) << (it & 31).astype(np.uint32)
+        )
+    bm[:, 0] |= np.uint32(1)  # PAD column
+    return bm.view(np.int32)
+
+
+class DeviceEpoch:
+    """One-compile-per-shape whole-epoch runner bound to a Trainer."""
+
+    def __init__(self, trainer, loader):
+        split = loader.split
+        self.uid_field = loader.uid_field
+        self.iid_field = loader.iid_field
+        self.neg_field = loader.neg_prefix + loader.iid_field
+        users = np.asarray(split.inter[self.uid_field], np.int32)
+        items = np.asarray(split.inter[self.iid_field], np.int32)
+        self.n_real = len(users)
+        B = loader.local_step
+        n_steps = max(-(-self.n_real // B), 1)
+        n_pad = n_steps * B
+        w = np.zeros(n_pad, np.float32)
+        w[: self.n_real] = 1.0
+        self.users = jnp.asarray(np.pad(users, (0, n_pad - self.n_real)))
+        self.items = jnp.asarray(np.pad(items, (0, n_pad - self.n_real)))
+        self.weights = jnp.asarray(w)
+        self.n_items = split.item_num
+        self.bitmap = jnp.asarray(
+            build_used_bitmap(
+                loader.sampler.used_ids[loader.phase],
+                split.user_num, split.item_num,
+            )
+        )
+        self.B = B
+        self.n_steps = n_steps
+        self._fn = self._build(trainer)
+
+    def _build(self, trainer):
+        model, tx = trainer.model, trainer.tx
+        B, n_steps = self.B, self.n_steps
+        n_items = self.n_items
+        uidf, iidf, negf = self.uid_field, self.iid_field, self.neg_field
+
+        def sample_negs(rng, u):
+            """Bounded masked resampling against the used bitmap —
+            `sampler.py:106-126` semantics on device."""
+
+            def test_used(c):
+                word = self.bitmap[u, c >> 5]
+                return ((word >> (c & 31)) & 1) == 1
+
+            cand = jax.random.randint(
+                jax.random.fold_in(rng, 0), (B,), 1, n_items, jnp.int32
+            )
+
+            def round_(r, c):
+                redraw = jax.random.randint(
+                    jax.random.fold_in(rng, r + 1), (B,), 1, n_items,
+                    jnp.int32,
+                )
+                return jnp.where(test_used(c), redraw, c)
+
+            return jax.lax.fori_loop(0, _MAX_RESAMPLE_ROUNDS, round_, cand)
+
+        @partial(jax.jit, donate_argnums=(0, 2))
+        def epoch_fn(params, extra_vars, opt_state, estate, rng, step0):
+            perm_rng, samp_rng, drop_rng = jax.random.split(rng, 3)
+            perm = jax.random.permutation(perm_rng, self.users.shape[0])
+            u = self.users[perm].reshape(n_steps, B)
+            i = self.items[perm].reshape(n_steps, B)
+            w = self.weights[perm].reshape(n_steps, B)
+
+            def body(carry, xs):
+                params, extra_vars, opt_state, step = carry
+                bu, bi, bw = xs
+                neg = sample_negs(jax.random.fold_in(samp_rng, step), bu)
+                batch = {uidf: bu, iidf: bi, negf: neg, "weight": bw}
+
+                def loss_fn(p):
+                    out, new_vars = model.apply(
+                        {"params": p, **extra_vars}, batch, estate,
+                        method=model.calculate_loss,
+                        rngs={"dropout": jax.random.fold_in(drop_rng, step)},
+                        mutable=["batch_stats"],
+                    )
+                    return out, new_vars
+
+                (loss, new_vars), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
+                import optax
+
+                updates, new_opt_state = tx.update(grads, opt_state, params)
+                new_params = optax.apply_updates(params, updates)
+                if "batch_stats" in new_vars:
+                    extra_vars = dict(
+                        extra_vars, batch_stats=new_vars["batch_stats"]
+                    )
+                return (
+                    (new_params, extra_vars, new_opt_state, step + 1),
+                    loss,
+                )
+
+            (params, extra_vars, opt_state, _), losses = jax.lax.scan(
+                body, (params, extra_vars, opt_state, step0), (u, i, w)
+            )
+            return params, extra_vars, opt_state, jnp.sum(losses), losses
+
+        return epoch_fn
+
+    def run(self, params, extra_vars, opt_state, estate, rng, step0: int):
+        return self._fn(
+            params, extra_vars, opt_state, estate, rng, jnp.int32(step0)
+        )
+
+
+def device_epoch_eligible(trainer, loader, config) -> bool:
+    from oovrec_tpu.data.dataloader import TrainBatcher
+    from oovrec_tpu.data.transform import Equal
+
+    flag = config.get("device_epoch", "auto")
+    if flag is False:
+        return False
+    if not isinstance(loader, TrainBatcher):
+        return False
+    ok = (
+        loader.mode == "pairwise"
+        and loader.times == 1
+        and not loader.dynamic
+        and loader.user_feat is None
+        and loader.item_feat is None
+        and isinstance(loader.transform, Equal)
+        and not getattr(loader.sampler, "repeatable", False)
+        and getattr(loader.sampler, "distribution", None) == "uniform"
+        and loader.process_count == 1
+        and trainer.mesh is None
+        and trainer.dhe_hasher is None
+        and getattr(trainer.model, "supports_device_epoch", False)
+    )
+    if not ok:
+        return False
+    if flag == "auto":
+        return len(loader.split) >= AUTO_MIN_ROWS
+    return bool(flag)

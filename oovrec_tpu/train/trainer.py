@@ -254,6 +254,11 @@ class Trainer:
         keep probability of the OOV sub-epoch (`trainer.py:1796`)."""
         from oovrec_tpu.data.prefetch import maybe_prefetch
 
+        if oov_transform is None and keep_ratio is None and not frozen:
+            de = self._maybe_device_epoch(train_loader)
+            if de is not None:
+                return self._run_device_epoch(de, epoch_idx)
+
         train_loader = maybe_prefetch(train_loader, self.config)
         step = self._get_step(frozen)
         params = self.variables["params"]
@@ -313,6 +318,45 @@ class Trainer:
         dt = max(time.time() - t_epoch, 1e-9)
         self.last_examples_per_sec = n_examples / dt
         return total_loss
+
+    def _maybe_device_epoch(self, train_loader):
+        """Whole-epoch-on-device fast path (train/device_epoch.py) for
+        eligible two-tower pairwise loads; None → host pipeline."""
+        from oovrec_tpu.train.device_epoch import (
+            DeviceEpoch,
+            device_epoch_eligible,
+        )
+
+        if not device_epoch_eligible(self, train_loader, self.config):
+            return None
+        key = id(train_loader)
+        if getattr(self, "_device_epochs", None) is None:
+            self._device_epochs = {}
+        if key not in self._device_epochs:
+            self._device_epochs[key] = DeviceEpoch(self, train_loader)
+        return self._device_epochs[key]
+
+    def _run_device_epoch(self, de, epoch_idx: int) -> float:
+        params = self.variables["params"]
+        extra_vars = {k: v for k, v in self.variables.items()
+                      if k != "params"}
+        estate = _device_estate(self.estate)
+        rng = jax.random.fold_in(self._dropout_key, 1_000_000 + epoch_idx)
+        t_epoch = time.time()
+        params, extra_vars, opt_state, loss_sum, losses = de.run(
+            params, extra_vars, self.opt_state, estate, rng,
+            self._global_step,
+        )
+        vals = np.asarray(jax.device_get(losses), dtype=np.float64)
+        if np.isnan(vals).any():
+            raise ValueError("Training loss is nan")
+        self.variables = dict(extra_vars, params=params)
+        self._live_params = params
+        self.opt_state = opt_state
+        self._global_step += de.n_steps
+        dt = max(time.time() - t_epoch, 1e-9)
+        self.last_examples_per_sec = de.n_real / dt
+        return float(vals.sum())
 
     def _augment_batch(self, batch: dict) -> dict:
         """Mixed-mode augmentation (`_augment_with_oov`, `trainer.py:1654`):

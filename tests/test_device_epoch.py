@@ -1,0 +1,141 @@
+"""Device-resident epoch fast path (train/device_epoch.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from oovrec_tpu.cli.quick_start import run
+from oovrec_tpu.config import Config
+from oovrec_tpu.data.utils import create_dataset, data_preparation
+from oovrec_tpu.train.device_epoch import (
+    build_used_bitmap,
+    device_epoch_eligible,
+)
+
+from tests.test_dataset import ASSETS
+
+
+def _cfg(**over):
+    d = {
+        "model": "BPR",
+        "dataset": "toy",
+        "data_path": ASSETS,
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+        "epochs": 3,
+        "train_batch_size": 8,
+        "eval_batch_size": 64,
+        "embedding_size": 8,
+        "topk": [2, 5],
+        "valid_metric": "MRR@2",
+        "eval_args": {
+            "split": {"RS": [0.8, 0.1, 0.1]},
+            "order": "TO",
+            "group_by": "user",
+            "mode": "full",
+        },
+    }
+    d.update(over)
+    return d
+
+
+def test_used_bitmap_layout():
+    per_user = [np.array([], np.int64), np.array([1, 33]), np.array([2])]
+    bm = build_used_bitmap(per_user, 3, 40).view(np.uint32)
+    assert bm.shape == (3, 2)
+    # PAD column set everywhere
+    assert all(bm[u, 0] & 1 for u in range(3))
+    assert (bm[1, 0] >> 1) & 1 and (bm[1, 1] >> 1) & 1  # items 1, 33
+    assert (bm[2, 0] >> 2) & 1
+    assert not (bm[0, 0] >> 1) & 1
+
+
+def test_on_device_negative_sampling_avoids_used():
+    """The bitmap-resampling negative draw never returns PAD or a
+    used (user, item) pair when unused items exist (sampler.py:106-126
+    semantics on device)."""
+    from oovrec_tpu.data.sampler import _MAX_RESAMPLE_ROUNDS
+
+    n_users, n_items, B = 4, 64, 256
+    per_user = [
+        np.arange(1, 32),          # user 0: half the corpus used
+        np.array([5]),
+        np.arange(1, 48),          # user 2: 16 unused items left
+        np.array([], np.int64),
+    ]
+    bm = jnp.asarray(build_used_bitmap(per_user, n_users, n_items))
+    users = jnp.asarray(np.resize(np.arange(n_users), B).astype(np.int32))
+
+    def sample(rng, u):
+        def test_used(c):
+            return ((bm[u, c >> 5] >> (c & 31)) & 1) == 1
+
+        cand = jax.random.randint(
+            jax.random.fold_in(rng, 0), (B,), 1, n_items, jnp.int32
+        )
+
+        def round_(r, c):
+            redraw = jax.random.randint(
+                jax.random.fold_in(rng, r + 1), (B,), 1, n_items, jnp.int32
+            )
+            return jnp.where(test_used(c), redraw, c)
+
+        return jax.lax.fori_loop(0, _MAX_RESAMPLE_ROUNDS, round_, cand)
+
+    negs = np.asarray(jax.jit(sample)(jax.random.PRNGKey(0), users))
+    u = np.asarray(users)
+    assert (negs != 0).all()
+    for b in range(B):
+        assert negs[b] not in per_user[u[b]], (b, u[b], negs[b])
+
+
+def test_device_epoch_trains(tmp_path):
+    cfg = _cfg(device_epoch=True, checkpoint_dir=str(tmp_path))
+    res = run(config_dict=cfg, saved=False)
+    assert res["test_result"]["recall@5"] >= 0.0
+    trainer = res["trainer"]
+    assert getattr(trainer, "_device_epochs", None), (
+        "fast path did not activate with device_epoch=True"
+    )
+
+
+def test_device_epoch_matches_host_quality(tmp_path):
+    """Same config trained through both paths reaches comparable metrics
+    (RNG streams differ — assert the fast path learns, not bit-equality)."""
+    host = run(
+        config_dict=_cfg(device_epoch=False,
+                         checkpoint_dir=str(tmp_path / "h")),
+        saved=False,
+    )
+    dev = run(
+        config_dict=_cfg(device_epoch=True,
+                         checkpoint_dir=str(tmp_path / "d")),
+        saved=False,
+    )
+    assert getattr(dev["trainer"], "_device_epochs", None)
+    assert not getattr(host["trainer"], "_device_epochs", None)
+    h = host["test_result"]["ndcg@5"]
+    d = dev["test_result"]["ndcg@5"]
+    assert d >= 0.0 and abs(h - d) < 0.6  # tiny corpus, loose band
+
+
+def test_eligibility_gates(tmp_path):
+    cfg = Config(config_dict=_cfg(device_epoch="auto"))
+    ds = create_dataset(cfg)
+    train_loader, _, _ = data_preparation(cfg, ds)
+
+    class FakeTrainer:
+        mesh = None
+        dhe_hasher = None
+
+        class model:
+            supports_device_epoch = True
+
+    # auto: tiny corpus stays on the host path
+    assert not device_epoch_eligible(FakeTrainer(), train_loader, cfg)
+    cfg2 = Config(config_dict=_cfg(device_epoch=True))
+    assert device_epoch_eligible(FakeTrainer(), train_loader, cfg2)
+    # dynamic sampling disables it
+    train_loader.dynamic = True
+    assert not device_epoch_eligible(FakeTrainer(), train_loader, cfg2)
