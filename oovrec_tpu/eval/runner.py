@@ -142,6 +142,67 @@ class EvalRunner:
             )
         return bool(flag) and supported
 
+    def _use_scanned_eval(self, eval_loader, collector) -> bool:
+        """Whole-eval-in-one-program fast path: the per-batch dispatch
+        (host slice → H2D → step → D2H) pays a full tunnel/dispatch RTT
+        per ~⌊eval_batch/n_items⌋ users; scanning all user batches inside
+        one jitted program pays it once. Gated `device_eval: auto|bool`
+        (auto: ≥1024 users), plain top-k collection only."""
+        flag = self.config.get("device_eval", "auto")
+        if flag is False or self.mesh is not None:
+            return False
+        if self.eval_type != EvaluatorType.RANKING:
+            return False
+        if not isinstance(eval_loader, FullSortEvalBatcher):
+            return False
+        if type(eval_loader) is not FullSortEvalBatcher:
+            return False
+        if not hasattr(self.model, "full_sort_scores"):
+            return False
+        extra_needs = {"rec.items", "rec.meanrank", "rec.score",
+                       "data.label"}
+        if collector.need & extra_needs:
+            return False
+        if flag == "auto":
+            return len(eval_loader.uid_list) >= 1024
+        return bool(flag)
+
+    def _evaluate_scanned(self, variables, eval_loader, collector, estate):
+        """Stack every eval batch and lax.scan the full-sort step over
+        them in one compiled program; one D2H of (n_users, k) hits."""
+        batches = list(eval_loader)
+        n_steps = len(batches)
+        stacked = {
+            k: jnp.asarray(np.stack([to_device_batch(b)[k] for b in batches]))
+            for k in batches[0]
+        }
+        model, maxk = self.model, self.maxk
+
+        @jax.jit
+        def sweep(variables, sb, estate):
+            def body(_, batch):
+                scores = model.apply(
+                    variables, batch, estate, method=model.full_sort_scores
+                )
+                _, pos_idx, pos_len = mask_and_topk(
+                    scores,
+                    batch["hist_items"], batch["hist_len"],
+                    batch["pos_items"], batch["pos_len"],
+                    maxk,
+                )
+                return None, (pos_idx, pos_len)
+
+            _, (pos_idx, pos_len) = jax.lax.scan(body, None, sb)
+            return pos_idx, pos_len
+
+        pos_idx, pos_len = sweep(variables, stacked, estate)
+        U = pos_idx.shape[1]
+        pos_idx = np.asarray(pos_idx).reshape(n_steps * U, -1)
+        pos_len = np.asarray(pos_len).reshape(n_steps * U)
+        weight = np.concatenate([np.asarray(b["weight"]) for b in batches])
+        collector.collect_topk(pos_idx, pos_len, weight)
+        return float(weight.sum())
+
     # ------------------------------------------------------- neg-sample
 
     def _make_neg_step(self, n_items: int, n_users: int):
@@ -225,6 +286,14 @@ class EvalRunner:
 
         from oovrec_tpu.data.sequential import SeqFullSortEvalBatcher
 
+        if sample_eval_ratio is None and self._use_scanned_eval(
+            eval_loader, collector
+        ):
+            n_local = self._evaluate_scanned(
+                variables, eval_loader, collector, estate
+            )
+            evaluator = Evaluator(self.config)
+            return evaluator.evaluate(collector.get_data_struct())
         if isinstance(eval_loader, (FullSortEvalBatcher, SeqFullSortEvalBatcher)):
             key = eval_loader.item_num
             if key not in self._full_steps:

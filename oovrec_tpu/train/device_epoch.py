@@ -92,26 +92,19 @@ class DeviceEpoch:
         n_items = self.n_items
         uidf, iidf, negf = self.uid_field, self.iid_field, self.neg_field
 
+        R = _MAX_RESAMPLE_ROUNDS
+
         def sample_negs(rng, u):
             """Bounded masked resampling against the used bitmap —
-            `sampler.py:106-126` semantics on device."""
-
-            def test_used(c):
-                word = self.bitmap[u, c >> 5]
-                return ((word >> (c & 31)) & 1) == 1
-
-            cand = jax.random.randint(
-                jax.random.fold_in(rng, 0), (B,), 1, n_items, jnp.int32
-            )
-
-            def round_(r, c):
-                redraw = jax.random.randint(
-                    jax.random.fold_in(rng, r + 1), (B,), 1, n_items,
-                    jnp.int32,
-                )
-                return jnp.where(test_used(c), redraw, c)
-
-            return jax.lax.fori_loop(0, _MAX_RESAMPLE_ROUNDS, round_, cand)
+            `sampler.py:106-126` semantics (keep the first unused of up
+            to R uniform draws; give up after R like the host sampler),
+            vectorized as one (R, B) draw + gather instead of R
+            sequential redraw rounds."""
+            cands = jax.random.randint(rng, (R, B), 1, n_items, jnp.int32)
+            words = self.bitmap[u[None, :], cands >> 5]      # (R, B)
+            used = ((words >> (cands & 31)) & 1) == 1
+            first_ok = jnp.argmax(~used, axis=0)             # 0 if none free
+            return cands[first_ok, jnp.arange(B)]
 
         @partial(jax.jit, donate_argnums=(0, 2))
         def epoch_fn(params, extra_vars, opt_state, estate, rng, step0):

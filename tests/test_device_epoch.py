@@ -139,3 +139,15 @@ def test_eligibility_gates(tmp_path):
     # dynamic sampling disables it
     train_loader.dynamic = True
     assert not device_epoch_eligible(FakeTrainer(), train_loader, cfg2)
+
+
+def test_scanned_eval_matches_per_batch(tmp_path):
+    """device_eval fast path (one scanned program) must reproduce the
+    per-batch full-sort eval exactly — same masking, same top-k."""
+    base = _cfg(checkpoint_dir=str(tmp_path), epochs=2)
+    host = run(config_dict={**base, "device_eval": False}, saved=False)
+    dev = run(config_dict={**base, "device_eval": True}, saved=False)
+    h, d = host["test_result"], dev["test_result"]
+    assert set(h) == set(d)
+    for k in h:
+        assert abs(h[k] - d[k]) < 1e-9, (k, h[k], d[k])

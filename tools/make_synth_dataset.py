@@ -22,7 +22,8 @@ from oovrec_tpu.config.configurator import parse_cli_args  # noqa: E402
 
 
 def generate(out: str, name: str, n_users: int, n_items: int, n_inters: int,
-             new_ratio: float = 0.1, dim: int = 8, seed: int = 7):
+             new_ratio: float = 0.1, dim: int = 8, seed: int = 7,
+             feat_dims: int = 4, feat_noise: float = 0.3):
     rng = np.random.default_rng(seed)
     n_new_u = int(n_users * new_ratio)
     n_new_i = int(n_items * new_ratio)
@@ -92,8 +93,10 @@ def generate(out: str, name: str, n_users: int, n_items: int, n_inters: int,
     # vector features (the reference datasets carry *_vector float_seq
     # columns; multi-dim blocks are what make per-feature L2 normalization
     # discriminative for the LSH/kNN/DNN embedders)
-    u_vec = (U[:, :4] + 0.3 * rng.standard_normal((n_users, 4))).round(4)
-    i_vec = (I[:, :4] + 0.3 * rng.standard_normal((n_items, 4))).round(4)
+    u_vec = (U[:, :feat_dims]
+             + feat_noise * rng.standard_normal((n_users, feat_dims))).round(4)
+    i_vec = (I[:, :feat_dims]
+             + feat_noise * rng.standard_normal((n_items, feat_dims))).round(4)
 
     def user_rows(ids):
         return [
@@ -145,4 +148,6 @@ if __name__ == "__main__":
         a.get("out", "dataset"), a.get("name", "synth-ind"),
         int(a.get("users", 2000)), int(a.get("items", 1000)),
         int(a.get("inters", 60000)), float(a.get("new_ratio", 0.1)),
+        feat_dims=int(a.get("feat_dims", 4)),
+        feat_noise=float(a.get("feat_noise", 0.3)),
     )
