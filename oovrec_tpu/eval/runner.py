@@ -153,23 +153,35 @@ class EvalRunner:
             return False
         if self.eval_type != EvaluatorType.RANKING:
             return False
-        if not isinstance(eval_loader, FullSortEvalBatcher):
-            return False
-        if type(eval_loader) is not FullSortEvalBatcher:
-            return False
-        if not hasattr(self.model, "full_sort_scores"):
+        from oovrec_tpu.data.sequential import SeqFullSortEvalBatcher
+
+        if type(eval_loader) in (FullSortEvalBatcher, SeqFullSortEvalBatcher):
+            if not hasattr(self.model, "full_sort_scores"):
+                return False
+            n_rows = (
+                len(eval_loader.uid_list)
+                if type(eval_loader) is FullSortEvalBatcher
+                else len(eval_loader.split)
+            )
+        elif type(eval_loader) is NegSampleEvalBatcher:
+            n_rows = len(eval_loader.uid_list)
+        else:
             return False
         extra_needs = {"rec.items", "rec.meanrank", "rec.score",
                        "data.label"}
         if collector.need & extra_needs:
             return False
         if flag == "auto":
-            return len(eval_loader.uid_list) >= 1024
+            return n_rows >= 1024
         return bool(flag)
 
     def _evaluate_scanned(self, variables, eval_loader, collector, estate):
-        """Stack every eval batch and lax.scan the full-sort step over
-        them in one compiled program; one D2H of (n_users, k) hits."""
+        """Stack every eval batch and lax.scan the scoring step over them
+        in one compiled program; one D2H of (n_users, k) hits."""
+        if type(eval_loader) is NegSampleEvalBatcher:
+            return self._evaluate_scanned_neg(
+                variables, eval_loader, collector, estate
+            )
         batches = list(eval_loader)
         n_steps = len(batches)
         stacked = {
@@ -200,6 +212,57 @@ class EvalRunner:
         pos_idx = np.asarray(pos_idx).reshape(n_steps * U, -1)
         pos_len = np.asarray(pos_len).reshape(n_steps * U)
         weight = np.concatenate([np.asarray(b["weight"]) for b in batches])
+        collector.collect_topk(pos_idx, pos_len, weight)
+        return float(weight.sum())
+
+    def _evaluate_scanned_neg(self, variables, eval_loader, collector,
+                              estate):
+        """Scanned uni-N sampled-negative eval (the paper's uni250
+        validation protocol): every batch's scatter + top-k runs inside
+        one program (`_make_neg_step` body), replacing one dispatch RTT
+        per ~step users. Host negative sampling still happens in the
+        loader (fresh draws per eval pass)."""
+        n_items = eval_loader.item_num
+        n_users = eval_loader.max_users
+        batches = list(eval_loader)
+        n_steps = len(batches)
+        stacked = {
+            k: jnp.asarray(np.stack([to_device_batch(b)[k] for b in batches]))
+            for k in batches[0]
+        }
+        model, maxk = self.model, self.maxk
+
+        @jax.jit
+        def sweep(variables, sb, estate):
+            def body(_, batch):
+                scores = model.apply(
+                    variables, batch, estate, method=model.predict
+                )
+                mat = scatter_scores(
+                    batch["row_user"], batch[model.iid_field], scores,
+                    batch["weight"], n_users, n_items,
+                )
+                mat = mat.at[:, 0].set(-jnp.inf)
+                pos = positives_matrix(
+                    batch["positive_u"], batch["positive_i"],
+                    batch["positive_weight"], n_users, n_items,
+                )
+                from oovrec_tpu.eval.full_sort import matrix_topk
+
+                _, pos_idx, pos_len = matrix_topk(mat, pos, maxk)
+                user_w = (
+                    jnp.arange(n_users) < batch["n_users"]
+                ).astype(jnp.float32)
+                return None, (pos_idx, pos_len, user_w)
+
+            _, out = jax.lax.scan(body, None, sb)
+            return out
+
+        pos_idx, pos_len, user_w = sweep(variables, stacked, estate)
+        U = pos_idx.shape[1]
+        pos_idx = np.asarray(pos_idx).reshape(n_steps * U, -1)
+        pos_len = np.asarray(pos_len).reshape(n_steps * U)
+        weight = np.asarray(user_w).reshape(n_steps * U)
         collector.collect_topk(pos_idx, pos_len, weight)
         return float(weight.sum())
 

@@ -92,19 +92,53 @@ class DeviceEpoch:
         n_items = self.n_items
         uidf, iidf, negf = self.uid_field, self.iid_field, self.neg_field
 
-        R = _MAX_RESAMPLE_ROUNDS
+        R = int(
+            trainer.config.get("device_epoch_rounds")
+            or _MAX_RESAMPLE_ROUNDS
+        )
+        CH = 4  # draw rounds per while iteration
 
         def sample_negs(rng, u):
             """Bounded masked resampling against the used bitmap —
-            `sampler.py:106-126` semantics (keep the first unused of up
-            to R uniform draws; give up after R like the host sampler),
-            vectorized as one (R, B) draw + gather instead of R
-            sequential redraw rounds."""
-            cands = jax.random.randint(rng, (R, B), 1, n_items, jnp.int32)
-            words = self.bitmap[u[None, :], cands >> 5]      # (R, B)
-            used = ((words >> (cands & 31)) & 1) == 1
-            first_ok = jnp.argmax(~used, axis=0)             # 0 if none free
-            return cands[first_ok, jnp.arange(B)]
+            `sampler.py:106-126` semantics (keep the FIRST unused of up
+            to R uniform draws; give up after R like the host sampler).
+            The R-round budget is spent lazily: a bounded while_loop
+            draws CH rounds per iteration and exits once every lane
+            resolved — with used fractions of a few percent that is one
+            iteration, so the bitmap-gather cost is ~CH·B instead of R·B
+            (the R=64 eager version measured 3× slower end-to-end)."""
+            lanes = jnp.arange(B)
+
+            def test_used(c):
+                words = self.bitmap[u[None, :], c >> 5]
+                return ((words >> (c & 31)) & 1) == 1
+
+            def cond(state):
+                i, _, ok = state
+                return (i < R // CH) & ~jnp.all(ok)
+
+            def body(state):
+                i, c, ok = state
+                draws = jax.random.randint(
+                    jax.random.fold_in(rng, i), (CH, B), 1, n_items,
+                    jnp.int32,
+                )
+                free = ~test_used(draws)                    # (CH, B)
+                any_free = jnp.any(free, axis=0)
+                first = jnp.argmax(free, axis=0)
+                cand = draws[first, lanes]
+                c = jnp.where(~ok & any_free, cand, c)
+                return i + 1, c, ok | any_free
+
+            # give-up fallback: rows that stay used after R rounds keep a
+            # plain uniform draw (the host keeps its last bad draw)
+            c0 = jax.random.randint(
+                jax.random.fold_in(rng, R), (B,), 1, n_items, jnp.int32
+            )
+            _, c, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), c0, jnp.zeros(B, bool))
+            )
+            return c
 
         @partial(jax.jit, donate_argnums=(0, 2))
         def epoch_fn(params, extra_vars, opt_state, estate, rng, step0):

@@ -151,3 +151,36 @@ def test_scanned_eval_matches_per_batch(tmp_path):
     assert set(h) == set(d)
     for k in h:
         assert abs(h[k] - d[k]) < 1e-9, (k, h[k], d[k])
+
+
+def test_scanned_uni_eval_matches_per_batch(tmp_path):
+    """Scanned uni-N sampled-negative eval == per-batch path. Negative
+    draws are host-side in both cases; same seed → same candidate sets,
+    so metrics must match exactly."""
+    base = _cfg(
+        checkpoint_dir=str(tmp_path), epochs=2,
+        eval_args={
+            "split": {"RS": [0.8, 0.1, 0.1]},
+            "order": "TO", "group_by": "user", "mode": "uni10",
+        },
+    )
+    host = run(config_dict={**base, "device_eval": False}, saved=False)
+    dev = run(config_dict={**base, "device_eval": True}, saved=False)
+    h, d = host["test_result"], dev["test_result"]
+    assert set(h) == set(d)
+    for k in h:
+        assert abs(h[k] - d[k]) < 1e-9, (k, h[k], d[k])
+
+
+def test_scanned_seq_eval_matches_per_batch(tmp_path):
+    """Scanned eval over sequential full-sort batches (GRU4Rec, LS
+    protocol) == per-batch path."""
+    from tests.test_sequential import _cfg as seq_cfg
+
+    base = seq_cfg("GRU4Rec", epochs=1,
+                   checkpoint_dir=str(tmp_path))
+    host = run(config_dict={**base, "device_eval": False}, saved=False)
+    dev = run(config_dict={**base, "device_eval": True}, saved=False)
+    h, d = host["test_result"], dev["test_result"]
+    for k in h:
+        assert abs(h[k] - d[k]) < 1e-9, (k, h[k], d[k])
