@@ -57,7 +57,12 @@ def build_used_bitmap(per_user_used, n_users: int, n_items: int) -> np.ndarray:
 
 
 class DeviceEpoch:
-    """One-compile-per-shape whole-epoch runner bound to a Trainer."""
+    """One-compile-per-shape whole-epoch runner bound to a Trainer.
+
+    Under an active ('data','model') mesh the epoch arrays commit
+    'data'-sharded (the bitmap replicated); the scan body then compiles
+    SPMD against the trainer's mesh-committed params — the whole-epoch
+    program IS the multi-chip program, no per-batch host sharding."""
 
     def __init__(self, trainer, loader):
         split = loader.split
@@ -82,6 +87,14 @@ class DeviceEpoch:
                 split.user_num, split.item_num,
             )
         )
+        if trainer.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(trainer.mesh, P())
+            self.users = jax.device_put(self.users, rep)
+            self.items = jax.device_put(self.items, rep)
+            self.weights = jax.device_put(self.weights, rep)
+            self.bitmap = jax.device_put(self.bitmap, rep)
         self.B = B
         self.n_steps = n_steps
         self._fn = self._build(trainer)
@@ -140,13 +153,44 @@ class DeviceEpoch:
             )
             return c
 
-        @partial(jax.jit, donate_argnums=(0, 2))
+        mesh = trainer.mesh
+        jit_kwargs = {"donate_argnums": (0, 2)}
+        if mesh is not None:
+            # pin the output state to the trainer's committed shardings —
+            # without out_shardings GSPMD may return replicated tables,
+            # silently undoing the 'model'-axis row sharding
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            extra0 = {
+                k: v for k, v in trainer.variables.items() if k != "params"
+            }
+            jit_kwargs["out_shardings"] = (
+                trainer._p_shard,
+                jax.tree.map(lambda _: rep, extra0),
+                trainer._o_shard,
+                rep,
+                rep,
+            )
+
+        def shard_steps(x):
+            """(n_steps, B) → batch axis 'data'-sharded when on a mesh, so
+            the SPMD partitioner data-parallelizes every scan step."""
+            if mesh is None:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(None, "data"))
+            )
+
+        @partial(jax.jit, **jit_kwargs)
         def epoch_fn(params, extra_vars, opt_state, estate, rng, step0):
             perm_rng, samp_rng, drop_rng = jax.random.split(rng, 3)
             perm = jax.random.permutation(perm_rng, self.users.shape[0])
-            u = self.users[perm].reshape(n_steps, B)
-            i = self.items[perm].reshape(n_steps, B)
-            w = self.weights[perm].reshape(n_steps, B)
+            u = shard_steps(self.users[perm].reshape(n_steps, B))
+            i = shard_steps(self.items[perm].reshape(n_steps, B))
+            w = shard_steps(self.weights[perm].reshape(n_steps, B))
 
             def body(carry, xs):
                 params, extra_vars, opt_state, step = carry
@@ -201,6 +245,15 @@ def device_epoch_eligible(trainer, loader, config) -> bool:
         return False
     if not isinstance(loader, TrainBatcher):
         return False
+    import jax as _jax
+
+    mesh_ok = trainer.mesh is None or (
+        # single-process multi-device: the whole-epoch program compiles
+        # SPMD over the mesh; multi-host epochs keep the per-process
+        # host pipeline (each host owns an interleaved corpus slice)
+        _jax.process_count() == 1
+        and loader.local_step % trainer.mesh.shape["data"] == 0
+    )
     ok = (
         loader.mode == "pairwise"
         and loader.times == 1
@@ -211,7 +264,7 @@ def device_epoch_eligible(trainer, loader, config) -> bool:
         and not getattr(loader.sampler, "repeatable", False)
         and getattr(loader.sampler, "distribution", None) == "uniform"
         and loader.process_count == 1
-        and trainer.mesh is None
+        and mesh_ok
         and trainer.dhe_hasher is None
         and getattr(trainer.model, "supports_device_epoch", False)
     )

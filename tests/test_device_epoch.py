@@ -184,3 +184,55 @@ def test_scanned_seq_eval_matches_per_batch(tmp_path):
     h, d = host["test_result"], dev["test_result"]
     for k in h:
         assert abs(h[k] - d[k]) < 1e-9, (k, h[k], d[k])
+
+
+def test_device_epoch_on_mesh(tmp_path):
+    """Device-resident epochs compile SPMD over an active
+    ('data','model') mesh: same fast path, sharded tables, sane metrics."""
+    cfg = _cfg(
+        device_epoch=True,
+        checkpoint_dir=str(tmp_path),
+        mesh={"data": 4, "model": 2},
+        row_shard_threshold=8,
+        train_batch_size=8,  # local_step 8 % data=4 == 0
+    )
+    res = run(config_dict=cfg, saved=False)
+    trainer = res["trainer"]
+    assert trainer.mesh is not None
+    assert getattr(trainer, "_device_epochs", None), (
+        "fast path did not activate on the mesh"
+    )
+    # the whole-epoch program must hand back the state in the trainer's
+    # committed shardings (out_shardings pin — GSPMD would otherwise
+    # replicate the tables and silently undo the 'model' row sharding)
+    import jax as _jax
+
+    def check(p, sh):
+        assert p.sharding == sh, (p.shape, p.sharding, sh)
+
+    _jax.tree.map(check, trainer.variables["params"], trainer._p_shard)
+    for v in res["test_result"].values():
+        assert np.isfinite(float(v))
+
+
+def test_device_epoch_on_mesh_with_sharded_table(tmp_path):
+    """A divisible bucket table stays 'model'-row-sharded through the
+    whole-epoch program (out_shardings pin actually exercised)."""
+    cfg = _cfg(
+        device_epoch=True,
+        checkpoint_dir=str(tmp_path),
+        mesh={"data": 4, "model": 2},
+        row_shard_threshold=8,
+        train_batch_size=8,
+        inductive_mapper="random",
+        add_oov_buckets=True,
+        n_user_oov_buckets=8,
+        n_item_oov_buckets=8,
+    )
+    res = run(config_dict=cfg, saved=False)
+    trainer = res["trainer"]
+    assert getattr(trainer, "_device_epochs", None)
+    tbl = trainer.variables["params"]["item_oov_buckets"]["embedding"]
+    assert not tbl.sharding.is_fully_replicated, "bucket table should shard"
+    for v in res["test_result"].values():
+        assert np.isfinite(float(v))
