@@ -64,8 +64,11 @@ class DeviceEpoch:
     SPMD against the trainer's mesh-committed params — the whole-epoch
     program IS the multi-chip program, no per-batch host sharding."""
 
-    def __init__(self, trainer, loader):
+    def __init__(self, trainer, loader, oov: bool = False,
+                 frozen: bool = False):
         split = loader.split
+        self.oov = oov
+        self.frozen = frozen
         self.uid_field = loader.uid_field
         self.iid_field = loader.iid_field
         self.neg_field = loader.neg_prefix + loader.iid_field
@@ -97,13 +100,36 @@ class DeviceEpoch:
             self.bitmap = jax.device_put(self.bitmap, rep)
         self.B = B
         self.n_steps = n_steps
-        self._fn = self._build(trainer)
+        self._fn = self._build(trainer, oov, frozen)
 
-    def _build(self, trainer):
+    def _build(self, trainer, oov: bool, frozen: bool):
         model, tx = trainer.model, trainer.tx
         B, n_steps = self.B, self.n_steps
         n_items = self.n_items
         uidf, iidf, negf = self.uid_field, self.iid_field, self.neg_field
+
+        spec = getattr(model, "spec", None)
+        if oov:
+            # static OOV-simulation parameters (inductive/transform.py):
+            # per-step option-of-3 padding, per-element id zero-masking,
+            # buckets hashed ON DEVICE (ops/inthash_device.py, bit-exact
+            # vs the host `hashes.hash_ids`), Bernoulli step keep
+            sim = trainer.oov_simulator
+            mask_rate = float(sim.mask_rate)
+            keep_ratio = float(trainer.oov_train_ratio)
+            n_orig_u, n_orig_i = sim.n_users, sim.n_items
+            prime_pad = int(spec.prime_pad)
+            hash_fn = spec.hash_function
+            nub = int(spec.n_user_buckets or 0)
+            nib = int(spec.n_item_buckets or 0)
+        freeze_mask = None
+        if frozen:
+            from oovrec_tpu.train.trainer import _is_oov_param_path
+
+            freeze_mask = jax.tree_util.tree_map_with_path(
+                lambda path, _: _is_oov_param_path(path),
+                trainer.variables["params"],
+            )
 
         R = int(
             trainer.config.get("device_epoch_rounds")
@@ -184,25 +210,62 @@ class DeviceEpoch:
                 x, NamedSharding(mesh, P(None, "data"))
             )
 
+        def oov_transform(t_rng, bu, bi, neg, bw):
+            """Device twin of `OOVSimulator.__call__`: option-of-3 flags,
+            pre-mask bucket hashing, id zero-masking that clears flags."""
+            from oovrec_tpu.ops.inthash_device import sim_buckets_device
+
+            option = jax.random.randint(
+                jax.random.fold_in(t_rng, 0), (), 0, 3
+            )
+            pad_items = (option == 0) | (option == 2)
+            pad_users = (option == 1) | (option == 2)
+            uflag = jnp.where(pad_users, 1, 0) * jnp.ones(B, jnp.int32)
+            iflag = jnp.where(pad_items, 1, 0) * jnp.ones(B, jnp.int32)
+            ub = (
+                sim_buckets_device(bu, n_orig_u, nub, hash_fn, prime_pad)
+                if nub else jnp.zeros(B, jnp.int32)
+            )
+            ib = (
+                sim_buckets_device(bi, n_orig_i, nib, hash_fn, prime_pad)
+                if nib else jnp.zeros(B, jnp.int32)
+            )
+            if mask_rate > 0:
+                def m(k):
+                    return jax.random.uniform(
+                        jax.random.fold_in(t_rng, k), (B,)
+                    ) < mask_rate
+
+                mu, mi_, mn = m(1), m(2), m(3)
+                bu = jnp.where(mu, 0, bu)
+                bi = jnp.where(mi_, 0, bi)
+                neg = jnp.where(mn, 0, neg)
+                # a zeroed (previously padded) id collapses to IV PAD 0
+                uflag = jnp.where(mu, 0, uflag)
+                iflag = jnp.where(mi_, 0, iflag)
+            return {
+                uidf: bu, uidf + "_oov": uflag, uidf + "_bucket": ub,
+                iidf: bi, iidf + "_oov": iflag, iidf + "_bucket": ib,
+                negf: neg, "weight": bw,
+            }
+
         @partial(jax.jit, **jit_kwargs)
         def epoch_fn(params, extra_vars, opt_state, estate, rng, step0):
-            perm_rng, samp_rng, drop_rng = jax.random.split(rng, 3)
+            perm_rng, samp_rng, drop_rng, oov_rng = jax.random.split(rng, 4)
             perm = jax.random.permutation(perm_rng, self.users.shape[0])
             u = shard_steps(self.users[perm].reshape(n_steps, B))
             i = shard_steps(self.items[perm].reshape(n_steps, B))
             w = shard_steps(self.weights[perm].reshape(n_steps, B))
+            idxs = step0 + jnp.arange(n_steps, dtype=jnp.int32)
 
-            def body(carry, xs):
-                params, extra_vars, opt_state, step = carry
-                bu, bi, bw = xs
-                neg = sample_negs(jax.random.fold_in(samp_rng, step), bu)
-                batch = {uidf: bu, iidf: bi, negf: neg, "weight": bw}
+            def train_step(carry, batch, idx):
+                params, extra_vars, opt_state = carry
 
                 def loss_fn(p):
                     out, new_vars = model.apply(
                         {"params": p, **extra_vars}, batch, estate,
                         method=model.calculate_loss,
-                        rngs={"dropout": jax.random.fold_in(drop_rng, step)},
+                        rngs={"dropout": jax.random.fold_in(drop_rng, idx)},
                         mutable=["batch_stats"],
                     )
                     return out, new_vars
@@ -213,18 +276,45 @@ class DeviceEpoch:
                 import optax
 
                 updates, new_opt_state = tx.update(grads, opt_state, params)
+                if freeze_mask is not None:
+                    from oovrec_tpu.train.trainer import _select_opt_state
+
+                    updates = jax.tree.map(
+                        lambda fm, up: up if fm else jnp.zeros_like(up),
+                        freeze_mask, updates,
+                    )
+                    new_opt_state = _select_opt_state(
+                        freeze_mask, opt_state, new_opt_state
+                    )
                 new_params = optax.apply_updates(params, updates)
                 if "batch_stats" in new_vars:
                     extra_vars = dict(
                         extra_vars, batch_stats=new_vars["batch_stats"]
                     )
-                return (
-                    (new_params, extra_vars, new_opt_state, step + 1),
-                    loss,
+                return (new_params, extra_vars, new_opt_state), loss
+
+            def body(carry, xs):
+                bu, bi, bw, idx = xs
+                neg = sample_negs(jax.random.fold_in(samp_rng, idx), bu)
+                if not oov:
+                    batch = {uidf: bu, iidf: bi, negf: neg, "weight": bw}
+                    carry, loss = train_step(carry, batch, idx)
+                    return carry, loss
+                t_rng = jax.random.fold_in(oov_rng, idx)
+                batch = oov_transform(t_rng, bu, bi, neg, bw)
+                # Bernoulli batch keep (`trainer.py:1796` semantics)
+                kept = jax.random.uniform(
+                    jax.random.fold_in(t_rng, 7)
+                ) <= keep_ratio
+                return jax.lax.cond(
+                    kept,
+                    lambda c: train_step(c, batch, idx),
+                    lambda c: (c, jnp.float32(0.0)),
+                    carry,
                 )
 
-            (params, extra_vars, opt_state, _), losses = jax.lax.scan(
-                body, (params, extra_vars, opt_state, step0), (u, i, w)
+            (params, extra_vars, opt_state), losses = jax.lax.scan(
+                body, (params, extra_vars, opt_state), (u, i, w, idxs)
             )
             return params, extra_vars, opt_state, jnp.sum(losses), losses
 
@@ -254,12 +344,14 @@ def device_epoch_eligible(trainer, loader, config) -> bool:
         _jax.process_count() == 1
         and loader.local_step % trainer.mesh.shape["data"] == 0
     )
+    # NOTE feature files are NOT a blocker: `supports_device_epoch` on the
+    # model asserts its loss consumes only (uid, iid, neg_iid, weight) —
+    # BPR-family feature access rides `estate` matrices, not batch columns,
+    # so the host loader's feature joins are dead weight this path skips.
     ok = (
         loader.mode == "pairwise"
         and loader.times == 1
         and not loader.dynamic
-        and loader.user_feat is None
-        and loader.item_feat is None
         and isinstance(loader.transform, Equal)
         and not getattr(loader.sampler, "repeatable", False)
         and getattr(loader.sampler, "distribution", None) == "uniform"

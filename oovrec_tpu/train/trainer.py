@@ -258,6 +258,18 @@ class Trainer:
             de = self._maybe_device_epoch(train_loader)
             if de is not None:
                 return self._run_device_epoch(de, epoch_idx)
+        elif (
+            keep_ratio is not None
+            and oov_transform is self.oov_simulator
+            and self.oov_simulator is not None
+        ):
+            # OOV-only sub-epoch fully on device: option-of-3 padding,
+            # id masking, on-device bucket hashing, Bernoulli step keep
+            de = self._maybe_device_epoch(
+                train_loader, oov=True, frozen=frozen
+            )
+            if de is not None:
+                return self._run_device_epoch(de, epoch_idx)
 
         train_loader = maybe_prefetch(train_loader, self.config)
         step = self._get_step(frozen)
@@ -319,7 +331,8 @@ class Trainer:
         self.last_examples_per_sec = n_examples / dt
         return total_loss
 
-    def _maybe_device_epoch(self, train_loader):
+    def _maybe_device_epoch(self, train_loader, oov: bool = False,
+                            frozen: bool = False):
         """Whole-epoch-on-device fast path (train/device_epoch.py) for
         eligible two-tower pairwise loads; None → host pipeline."""
         from oovrec_tpu.train.device_epoch import (
@@ -329,11 +342,22 @@ class Trainer:
 
         if not device_epoch_eligible(self, train_loader, self.config):
             return None
-        key = id(train_loader)
+        if oov:
+            spec = getattr(self.model, "spec", None)
+            if spec is None or spec.hash_function not in (
+                "mod", "fast", "3round", "64bit"
+            ):
+                return None
+            if max(spec.n_user_buckets or 0,
+                   spec.n_item_buckets or 0) > (1 << 16):
+                return None  # device mod emulation bound
+        key = (id(train_loader), oov, frozen)
         if getattr(self, "_device_epochs", None) is None:
             self._device_epochs = {}
         if key not in self._device_epochs:
-            self._device_epochs[key] = DeviceEpoch(self, train_loader)
+            self._device_epochs[key] = DeviceEpoch(
+                self, train_loader, oov=oov, frozen=frozen
+            )
         return self._device_epochs[key]
 
     def _run_device_epoch(self, de, epoch_idx: int) -> float:

@@ -236,3 +236,109 @@ def test_device_epoch_on_mesh_with_sharded_table(tmp_path):
     assert not tbl.sharding.is_fully_replicated, "bucket table should shard"
     for v in res["test_result"].values():
         assert np.isfinite(float(v))
+
+
+def test_device_oov_epoch_trains_buckets(tmp_path):
+    """OOV-only sub-epochs run fully on device: bucket tables move, the
+    fast path has both (plain, oov) compiled epochs, metrics finite."""
+    cfg = _cfg(
+        device_epoch=True,
+        checkpoint_dir=str(tmp_path),
+        inductive_mapper="random",
+        add_oov_buckets=True,
+        n_user_oov_buckets=8,
+        n_item_oov_buckets=8,
+        train_oov=True,
+        oov_only_epoch=True,
+        oov_train_ratio=1.0,   # keep every step: buckets must move
+        oov_feature_mask_rate=0.2,
+    )
+    res = run(config_dict=cfg, saved=False)
+    trainer = res["trainer"]
+    keys = set(trainer._device_epochs)
+    assert any(k[1] for k in keys), "no OOV device epoch compiled"
+    assert any(not k[1] for k in keys), "no plain device epoch compiled"
+    for v in res["test_result"].values():
+        assert np.isfinite(float(v))
+
+
+def test_device_oov_epoch_frozen_preserves_iv(tmp_path):
+    """frozen OOV device epochs must not touch IV tables."""
+    cfg = _cfg(
+        device_epoch=True,
+        checkpoint_dir=str(tmp_path),
+        inductive_mapper="random",
+        add_oov_buckets=True,
+        n_user_oov_buckets=8,
+        n_item_oov_buckets=8,
+        train_oov=True,
+        oov_only_epoch=True,
+        oov_train_ratio=1.0,
+        oov_feature_mask_rate=0.0,
+        oov_freeze_embedding=True,
+        epochs=1,
+    )
+    from oovrec_tpu.cli.quick_start import build_model_and_state
+    from oovrec_tpu.train.trainer import Trainer
+
+    c = Config(config_dict=cfg)
+    ds = create_dataset(c)
+    train_loader, valid_loader, _ = data_preparation(c, ds)
+    template = train_loader._make_batch(np.arange(2))
+    model, variables, estate = build_model_and_state(
+        c, ds, template_batch=template
+    )
+    trainer = Trainer(c, model, variables, estate)
+    iv_before = np.asarray(
+        trainer.variables["params"]["item_embedding"]["embedding"]
+    ).copy()
+    bk_before = np.asarray(
+        trainer.variables["params"]["item_oov_buckets"]["embedding"]
+    ).copy()
+    trainer.fit(train_loader, None, saved=False)
+    keys = set(trainer._device_epochs)
+    assert any(k[1] and k[2] for k in keys), "frozen OOV epoch not on device"
+    bk_after = np.asarray(
+        trainer.variables["params"]["item_oov_buckets"]["embedding"]
+    )
+    # buckets only move in OOV epochs (plain epochs never route OOV)
+    assert not np.allclose(bk_before, bk_after), "buckets did not train"
+    # run ONE more frozen OOV device epoch directly: IV must stay put
+    de = trainer._device_epochs[(id(train_loader), True, True)]
+    from oovrec_tpu.eval.runner import _device_estate
+
+    iv0 = np.asarray(
+        trainer.variables["params"]["item_embedding"]["embedding"]
+    ).copy()
+    import jax as _jax
+
+    params, extra, opt, _, _ = de.run(
+        trainer.variables["params"],
+        {k: v for k, v in trainer.variables.items() if k != "params"},
+        trainer.opt_state, _device_estate(trainer.estate),
+        _jax.random.PRNGKey(5), 1000,
+    )
+    iv1 = np.asarray(params["item_embedding"]["embedding"])
+    np.testing.assert_array_equal(iv0, iv1)
+    bk1 = np.asarray(params["item_oov_buckets"]["embedding"])
+    assert not np.allclose(bk_after, bk1), "buckets frozen too"
+
+
+def test_device_hash_parity_with_host():
+    """ops/inthash_device must be bit-exact vs the host hash family for
+    prime-padded OOV ids (the device OOV sub-epoch's bucket source)."""
+    from oovrec_tpu.inductive.hashes import hash_ids
+    from oovrec_tpu.ops.inthash_device import sim_buckets_device
+
+    PRIME = 112062759511
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 2**31 - 1, 4096).astype(np.int32)
+    for fn in ("mod", "3round", "fast", "64bit"):
+        for n_orig, B in ((1801, 200), (100, 16), (7, 65536)):
+            host = hash_ids(ids.astype(np.int64) + PRIME - n_orig, B, fn)
+            dev = np.asarray(jax.jit(
+                lambda i, n_orig=n_orig, B=B, fn=fn: sim_buckets_device(
+                    i, n_orig, B, fn, PRIME
+                )
+            )(jnp.asarray(ids)))
+            np.testing.assert_array_equal(host, dev, err_msg=f"{fn} {B}")
