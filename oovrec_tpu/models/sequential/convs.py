@@ -17,6 +17,8 @@ from oovrec_tpu.models.sequential.base import SequentialRecommender
 
 @register_model
 class Caser(SequentialRecommender):
+    # loss consumes only split columns (+ sampled neg) → device-epoch OK
+    supports_device_epoch = True
     """Caser (`caser.py`): horizontal (per-height) + vertical convolutions
     over the embedded sequence image, fused with a user embedding."""
 
@@ -88,6 +90,8 @@ class DilatedBlock(nn.Module):
 
 @register_model
 class NextItNet(SequentialRecommender):
+    # loss consumes only split columns (+ sampled neg) → device-epoch OK
+    supports_device_epoch = True
     """NextItNet (`nextitnet.py`): stacked causal dilated-conv residual
     blocks over the item sequence."""
 

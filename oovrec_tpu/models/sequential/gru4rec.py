@@ -15,6 +15,8 @@ from oovrec_tpu.models.sequential.base import SequentialRecommender
 
 @register_model
 class GRU4Rec(SequentialRecommender):
+    # loss consumes only split columns (+ sampled neg) → device-epoch OK
+    supports_device_epoch = True
     hidden_size: int = 128
     num_layers: int = 1
     dropout_prob: float = 0.3

@@ -18,6 +18,8 @@ from oovrec_tpu.utils.enums import InputType
 
 @register_model
 class NARM(SequentialRecommender):
+    # loss consumes only split columns (+ sampled neg) → device-epoch OK
+    supports_device_epoch = True
     """NARM (`narm.py`): GRU encoder; global (last state) + local
     (attention over states) representations concatenated and projected."""
 
@@ -68,6 +70,8 @@ class NARM(SequentialRecommender):
 
 @register_model
 class STAMP(SequentialRecommender):
+    # loss consumes only split columns (+ sampled neg) → device-epoch OK
+    supports_device_epoch = True
     """STAMP (`stamp.py`): attention over item embeddings with the last
     click as the short-term signal; trilinear composition."""
 

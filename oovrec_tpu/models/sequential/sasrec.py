@@ -42,6 +42,8 @@ class TransformerBlock(nn.Module):
 
 @register_model
 class SASRec(SequentialRecommender):
+    # loss consumes only split columns (+ sampled neg) → device-epoch OK
+    supports_device_epoch = True
     n_layers: int = 2
     n_heads: int = 2
     inner_size: int = 256

@@ -69,35 +69,54 @@ class DeviceEpoch:
         split = loader.split
         self.oov = oov
         self.frozen = frozen
+        self.mode = loader.mode  # "pairwise" | "plain"
         self.uid_field = loader.uid_field
         self.iid_field = loader.iid_field
         self.neg_field = loader.neg_prefix + loader.iid_field
-        users = np.asarray(split.inter[self.uid_field], np.int32)
-        items = np.asarray(split.inter[self.iid_field], np.int32)
-        self.n_real = len(users)
+        self.n_real = len(split)
         B = loader.local_step
         n_steps = max(-(-self.n_real // B), 1)
         n_pad = n_steps * B
         w = np.zeros(n_pad, np.float32)
         w[: self.n_real] = 1.0
-        self.users = jnp.asarray(np.pad(users, (0, n_pad - self.n_real)))
-        self.items = jnp.asarray(np.pad(items, (0, n_pad - self.n_real)))
         self.weights = jnp.asarray(w)
         self.n_items = split.item_num
-        self.bitmap = jnp.asarray(
-            build_used_bitmap(
-                loader.sampler.used_ids[loader.phase],
-                split.user_num, split.item_num,
+        # sampling metadata (pairwise only); repeatable samplers
+        # (sequential protocols, `RepeatableSampler` semantics) draw
+        # plain uniforms — no used-pair bitmap
+        self.repeatable = bool(getattr(loader.sampler, "repeatable", False))
+        self.bitmap = None
+        if self.mode == "pairwise" and not self.repeatable:
+            self.bitmap = jnp.asarray(
+                build_used_bitmap(
+                    loader.sampler.used_ids[loader.phase],
+                    split.user_num, split.item_num,
+                )
             )
-        )
+
+        def pad_col(v):
+            v = np.asarray(v)
+            if v.dtype == np.int64:
+                v = v.astype(np.int32)
+            elif v.dtype == np.float64:
+                v = v.astype(np.float32)
+            tail = np.zeros((n_pad - self.n_real,) + v.shape[1:], v.dtype)
+            return jnp.asarray(np.concatenate([v, tail]))
+
+        # carry every split column (models read what they need — sequence
+        # lists for the seq family, ids for two-tower; extras are dead
+        # weight in HBM, a few MB at ml-1m scale)
+        self.columns = {k: pad_col(v) for k, v in split.inter.items()}
         if trainer.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             rep = NamedSharding(trainer.mesh, P())
-            self.users = jax.device_put(self.users, rep)
-            self.items = jax.device_put(self.items, rep)
+            self.columns = {
+                k: jax.device_put(v, rep) for k, v in self.columns.items()
+            }
             self.weights = jax.device_put(self.weights, rep)
-            self.bitmap = jax.device_put(self.bitmap, rep)
+            if self.bitmap is not None:
+                self.bitmap = jax.device_put(self.bitmap, rep)
         self.B = B
         self.n_steps = n_steps
         self._fn = self._build(trainer, oov, frozen)
@@ -145,7 +164,11 @@ class DeviceEpoch:
             draws CH rounds per iteration and exits once every lane
             resolved — with used fractions of a few percent that is one
             iteration, so the bitmap-gather cost is ~CH·B instead of R·B
-            (the R=64 eager version measured 3× slower end-to-end)."""
+            (the R=64 eager version measured 3× slower end-to-end).
+            Repeatable samplers (`RepeatableSampler`, sampler.py:371)
+            skip used-pair avoidance entirely — one plain draw."""
+            if self.bitmap is None:
+                return jax.random.randint(rng, (B,), 1, n_items, jnp.int32)
             lanes = jnp.arange(B)
 
             def test_used(c):
@@ -252,9 +275,14 @@ class DeviceEpoch:
         @partial(jax.jit, **jit_kwargs)
         def epoch_fn(params, extra_vars, opt_state, estate, rng, step0):
             perm_rng, samp_rng, drop_rng, oov_rng = jax.random.split(rng, 4)
-            perm = jax.random.permutation(perm_rng, self.users.shape[0])
-            u = shard_steps(self.users[perm].reshape(n_steps, B))
-            i = shard_steps(self.items[perm].reshape(n_steps, B))
+            n_pad = self.weights.shape[0]
+            perm = jax.random.permutation(perm_rng, n_pad)
+            cols = {
+                k: shard_steps(
+                    v[perm].reshape((n_steps, B) + v.shape[1:])
+                )
+                for k, v in self.columns.items()
+            }
             w = shard_steps(self.weights[perm].reshape(n_steps, B))
             idxs = step0 + jnp.arange(n_steps, dtype=jnp.int32)
 
@@ -294,14 +322,22 @@ class DeviceEpoch:
                 return (new_params, extra_vars, new_opt_state), loss
 
             def body(carry, xs):
-                bu, bi, bw, idx = xs
+                bc, bw, idx = xs
+                if self.mode == "plain":
+                    batch = dict(bc, weight=bw)
+                    carry, loss = train_step(carry, batch, idx)
+                    return carry, loss
+                bu, bi = bc[uidf], bc[iidf]
                 neg = sample_negs(jax.random.fold_in(samp_rng, idx), bu)
                 if not oov:
-                    batch = {uidf: bu, iidf: bi, negf: neg, "weight": bw}
+                    batch = dict(bc, weight=bw)
+                    batch[negf] = neg
                     carry, loss = train_step(carry, batch, idx)
                     return carry, loss
                 t_rng = jax.random.fold_in(oov_rng, idx)
-                batch = oov_transform(t_rng, bu, bi, neg, bw)
+                extras = {k: v for k, v in bc.items()
+                          if k not in (uidf, iidf)}
+                batch = dict(extras, **oov_transform(t_rng, bu, bi, neg, bw))
                 # Bernoulli batch keep (`trainer.py:1796` semantics)
                 kept = jax.random.uniform(
                     jax.random.fold_in(t_rng, 7)
@@ -314,7 +350,7 @@ class DeviceEpoch:
                 )
 
             (params, extra_vars, opt_state), losses = jax.lax.scan(
-                body, (params, extra_vars, opt_state), (u, i, w, idxs)
+                body, (params, extra_vars, opt_state), (cols, w, idxs)
             )
             return params, extra_vars, opt_state, jnp.sum(losses), losses
 
@@ -348,13 +384,19 @@ def device_epoch_eligible(trainer, loader, config) -> bool:
     # model asserts its loss consumes only (uid, iid, neg_iid, weight) —
     # BPR-family feature access rides `estate` matrices, not batch columns,
     # so the host loader's feature joins are dead weight this path skips.
+    if loader.mode == "pairwise":
+        sampling_ok = (
+            loader.times == 1
+            and not loader.dynamic
+            and getattr(loader.sampler, "distribution", None) == "uniform"
+        )
+    elif loader.mode == "plain":
+        sampling_ok = True  # no negatives drawn (seq CE / plain losses)
+    else:
+        sampling_ok = False
     ok = (
-        loader.mode == "pairwise"
-        and loader.times == 1
-        and not loader.dynamic
+        sampling_ok
         and isinstance(loader.transform, Equal)
-        and not getattr(loader.sampler, "repeatable", False)
-        and getattr(loader.sampler, "distribution", None) == "uniform"
         and loader.process_count == 1
         and mesh_ok
         and trainer.dhe_hasher is None

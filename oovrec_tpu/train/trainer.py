@@ -344,6 +344,8 @@ class Trainer:
             return None
         if oov:
             spec = getattr(self.model, "spec", None)
+            if train_loader.mode != "pairwise":
+                return None
             if spec is None or spec.hash_function not in (
                 "mod", "fast", "3round", "64bit"
             ):

@@ -342,3 +342,47 @@ def test_device_hash_parity_with_host():
                 )
             )(jnp.asarray(ids)))
             np.testing.assert_array_equal(host, dev, err_msg=f"{fn} {B}")
+
+
+def test_plain_mode_device_epoch_gru4rec(tmp_path):
+    """Sequential CE training (plain mode, no negatives) runs as a
+    device-resident epoch and learns."""
+    from tests.test_sequential import _cfg as seq_cfg
+
+    cfg = seq_cfg("GRU4Rec", epochs=2, device_epoch=True,
+                  checkpoint_dir=str(tmp_path))
+    res = run(config_dict=cfg, saved=False)
+    trainer = res["trainer"]
+    assert getattr(trainer, "_device_epochs", None), (
+        "plain-mode fast path did not activate"
+    )
+    for v in res["test_result"].values():
+        assert np.isfinite(float(v))
+
+
+def test_repeatable_sampler_skips_bitmap(tmp_path):
+    """A repeatable sampler (no used-pair avoidance) gets plain uniform
+    draws — the DeviceEpoch carries no bitmap."""
+    from oovrec_tpu.train.device_epoch import DeviceEpoch
+
+    cfg = Config(config_dict=_cfg(device_epoch=True,
+                                  checkpoint_dir=str(tmp_path)))
+    ds = create_dataset(cfg)
+    train_loader, _, _ = data_preparation(cfg, ds)
+    train_loader.sampler.repeatable = True
+
+    from oovrec_tpu.cli.quick_start import build_model_and_state
+    from oovrec_tpu.train.trainer import Trainer
+
+    template = train_loader._make_batch(np.arange(2))
+    model, variables, estate = build_model_and_state(
+        cfg, ds, template_batch=template
+    )
+    trainer = Trainer(cfg, model, variables, estate)
+    de = DeviceEpoch(trainer, train_loader)
+    assert de.bitmap is None
+    out = de.run(
+        trainer.variables["params"],
+        {}, trainer.opt_state, {}, jax.random.PRNGKey(0), 0,
+    )
+    assert np.isfinite(float(out[3]))
