@@ -25,6 +25,9 @@ def fm_second_order(emb: jnp.ndarray) -> jnp.ndarray:
 
 @register_model
 class LR(ContextRecommender):
+    # loss consumes inter columns + joined feature columns + label,
+    # all of which the pointwise device epoch provides
+    supports_device_epoch = True
     def setup(self):
         self._setup_context()
 
@@ -44,6 +47,9 @@ class LR(ContextRecommender):
 
 @register_model
 class FM(ContextRecommender):
+    # loss consumes inter columns + joined feature columns + label,
+    # all of which the pointwise device epoch provides
+    supports_device_epoch = True
     def setup(self):
         self._setup_context()
 
@@ -65,6 +71,9 @@ class FM(ContextRecommender):
 
 @register_model
 class DeepFM(ContextRecommender):
+    # loss consumes inter columns + joined feature columns + label,
+    # all of which the pointwise device epoch provides
+    supports_device_epoch = True
     mlp_hidden_size: Tuple[int, ...] = (128, 128, 128)
     dropout_prob: float = 0.2
 

@@ -22,6 +22,9 @@ from oovrec_tpu.models.losses import bce
 
 @register_model
 class DCNV2(ContextRecommender):
+    # loss consumes inter columns + joined feature columns + label,
+    # all of which the pointwise device epoch provides
+    supports_device_epoch = True
     mixed: bool = False
     structure: str = "stacked"
     cross_layer_num: int = 3

@@ -17,6 +17,9 @@ from oovrec_tpu.models.losses import bce_with_logits
 
 @register_model
 class WideDeep(ContextRecommender):
+    # loss consumes inter columns + joined feature columns + label,
+    # all of which the pointwise device epoch provides
+    supports_device_epoch = True
     mlp_hidden_size: Tuple[int, ...] = (32, 16, 8)
     dropout_prob: float = 0.1
 

@@ -18,6 +18,9 @@ from oovrec_tpu.models.losses import bce_with_logits
 
 @register_model
 class xDeepFM(ContextRecommender):
+    # loss consumes inter columns + joined feature columns + label,
+    # all of which the pointwise device epoch provides
+    supports_device_epoch = True
     mlp_hidden_size: Tuple[int, ...] = (128, 128, 128)
     reg_weight: float = 5e-4
     dropout_prob: float = 0.2

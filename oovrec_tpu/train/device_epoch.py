@@ -86,7 +86,7 @@ class DeviceEpoch:
         # plain uniforms — no used-pair bitmap
         self.repeatable = bool(getattr(loader.sampler, "repeatable", False))
         self.bitmap = None
-        if self.mode == "pairwise" and not self.repeatable:
+        if self.mode in ("pairwise", "pointwise") and not self.repeatable:
             self.bitmap = jnp.asarray(
                 build_used_bitmap(
                     loader.sampler.used_ids[loader.phase],
@@ -107,6 +107,29 @@ class DeviceEpoch:
         # lists for the seq family, ids for two-tower; extras are dead
         # weight in HBM, a few MB at ml-1m scale)
         self.columns = {k: pad_col(v) for k, v in split.inter.items()}
+        # pointwise (CTR) epochs join user/item feature columns ON DEVICE:
+        # the tables live in HBM once, each step row-gathers them
+        # (`_join_features` semantics, dataloader.py:57-67)
+        self.label_field = loader.label_field
+        self.user_feat = self.item_feat = None
+        if self.mode == "pointwise":
+            def feat_dev(feat, id_field):
+                if feat is None:
+                    return None
+                out = {}
+                for f, t in feat.items():
+                    if f == id_field or f.endswith("_len"):
+                        continue
+                    t = np.asarray(t)
+                    if t.dtype == np.int64:
+                        t = t.astype(np.int32)
+                    elif t.dtype == np.float64:
+                        t = t.astype(np.float32)
+                    out[f] = jnp.asarray(t)
+                return out or None
+
+            self.user_feat = feat_dev(loader.user_feat, self.uid_field)
+            self.item_feat = feat_dev(loader.item_feat, self.iid_field)
         if trainer.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -329,6 +352,28 @@ class DeviceEpoch:
                     return carry, loss
                 bu, bi = bc[uidf], bc[iidf]
                 neg = sample_negs(jax.random.fold_in(samp_rng, idx), bu)
+                if self.mode == "pointwise":
+                    # host layout (dataloader.py:229-244): every inter
+                    # column tiled ×2, item column = [positives ∥ negs],
+                    # generated 1/0 labels, features joined per row
+                    batch = {
+                        k: jnp.concatenate([v, v]) for k, v in bc.items()
+                    }
+                    ids_i = jnp.concatenate([bi, neg])
+                    ids_u = jnp.concatenate([bu, bu])
+                    batch[iidf] = ids_i
+                    batch[self.label_field] = jnp.concatenate(
+                        [bw, jnp.zeros_like(bw)]
+                    )
+                    batch["weight"] = jnp.concatenate([bw, bw])
+                    if self.user_feat:
+                        for f, t in self.user_feat.items():
+                            batch[f] = t[ids_u]
+                    if self.item_feat:
+                        for f, t in self.item_feat.items():
+                            batch[f] = t[ids_i]
+                    carry, loss = train_step(carry, batch, idx)
+                    return carry, loss
                 if not oov:
                     batch = dict(bc, weight=bw)
                     batch[negf] = neg
@@ -387,6 +432,12 @@ def device_epoch_eligible(trainer, loader, config) -> bool:
     if loader.mode == "pairwise":
         sampling_ok = (
             loader.times == 1
+            and not loader.dynamic
+            and getattr(loader.sampler, "distribution", None) == "uniform"
+        )
+    elif loader.mode == "pointwise":
+        sampling_ok = (
+            loader.times == 2  # 1 uniform negative per positive
             and not loader.dynamic
             and getattr(loader.sampler, "distribution", None) == "uniform"
         )

@@ -386,3 +386,25 @@ def test_repeatable_sampler_skips_bitmap(tmp_path):
         {}, trainer.opt_state, {}, jax.random.PRNGKey(0), 0,
     )
     assert np.isfinite(float(out[3]))
+
+
+def test_pointwise_device_epoch_widedeep(tmp_path):
+    """CTR (pointwise 1-neg) training runs device-resident: inter columns
+    tiled, on-device feature joins, generated labels — metrics finite and
+    comparable to the host path."""
+    from tests.test_context_models import _ranking_cfg
+
+    base = _ranking_cfg("WideDeep", epochs=2)
+    base["checkpoint_dir"] = str(tmp_path)
+    host = run(config_dict={**base, "device_epoch": False}, saved=False)
+    dev = run(config_dict={**base, "device_epoch": True}, saved=False)
+    assert getattr(dev["trainer"], "_device_epochs", None), (
+        "pointwise fast path did not activate"
+    )
+    assert not getattr(host["trainer"], "_device_epochs", None)
+    h, d = host["test_result"], dev["test_result"]
+    assert set(h) == set(d)
+    for k in d:
+        assert np.isfinite(float(d[k]))
+    # same protocol, different RNG streams: loose quality band
+    assert abs(h["rmse"] - d["rmse"]) < 0.3
