@@ -1,28 +1,38 @@
-"""Device-resident training epochs for two-tower pairwise models.
+"""Device-resident training epochs — the host removed from the loop.
 
 The host pipeline (per-batch index slice → numpy negative resampling →
-tile/pad → H2D transfer) caps BPR-family end-to-end throughput at a few
+tile/pad/joins → H2D transfer) caps end-to-end throughput at a few
 hundred k examples/s while the jitted step alone sustains tens of M/s —
 the reference has the same shape of problem (per-batch pandas/python,
 `abstract_dataloader.py` + `sampler.py:147`), it just hides behind a GPU
 that is only ~10× faster than its host path.
 
-This module removes the host from the loop entirely for the models where
-that is possible: the epoch's (user, item) arrays live in HBM, each epoch
-is ONE compiled XLA program (`lax.scan` over steps, params/opt-state
-donated), and uniform negative sampling with used-id avoidance runs
-on-device against a packed (n_users, n_items/32) membership bitmap —
-the exact semantics of the host sampler's bounded masked resampling
-(`data/sampler.py:106-126`: uniform draws in [1, n_items), up to
-`_MAX_RESAMPLE_ROUNDS` redraw rounds for used pairs), with the RNG stream
-necessarily different (jax counter-based vs numpy host).
+Here the epoch's split columns live in HBM and each epoch is ONE compiled
+XLA program (`lax.scan` over steps, params/opt-state donated). Three
+loader modes are covered, spanning every paper track:
 
-Eligibility (`Trainer._device_epoch_ok`): pairwise mode, 1 uniform
-static negative, no feature joins, no batch transform, no DHE host
-hashing, single-device (the mesh path keeps the host pipeline which
-already shards per process). Gated by `device_epoch: auto|true|false` —
-`auto` enables at ≥100k interactions so tiny fixture runs keep the
-host path and its seeded trajectories.
+  * pairwise (retrieval, BPR-family): on-device uniform negative sampling
+    with used-pair avoidance against a packed (n_users, n_items/32)
+    bitmap — the host sampler's bounded-resampling semantics
+    (`data/sampler.py:106-126`), budget spent lazily in a while_loop;
+    OOV-simulation sub-epochs run on device too (flags, id masking,
+    bucket hashes via ops/inthash_device, Bernoulli step keep, optional
+    frozen-IV updates).
+  * pointwise (CTR/ranking): inter columns tiled ×2, [positives ∥ negs]
+    item column, generated 1/0 labels, and user/item FEATURE COLUMNS
+    JOINED ON DEVICE from HBM-resident tables
+    (`_join_features` semantics, dataloader.py:57-67).
+  * plain (sequential CE and other no-negative losses): the raw split
+    columns (sequence lists included) feed the loss directly.
+
+The RNG streams necessarily differ from the host pipeline's numpy
+streams. Eligibility: `device_epoch_eligible` — static uniform 1-neg (or
+none), Equal transform, no DHE host hashing, single process (an active
+single-process mesh is fine: the epoch program compiles SPMD), and the
+model's `supports_device_epoch` flag asserting its loss consumes only
+split columns (+ joined features / sampled negatives). Gated by
+`device_epoch: auto|true|false` — `auto` enables at ≥100k interactions so
+tiny fixture runs keep the host path's seeded trajectories.
 """
 
 from __future__ import annotations
@@ -69,7 +79,7 @@ class DeviceEpoch:
         split = loader.split
         self.oov = oov
         self.frozen = frozen
-        self.mode = loader.mode  # "pairwise" | "plain"
+        self.mode = loader.mode  # "pairwise" | "pointwise" | "plain"
         self.uid_field = loader.uid_field
         self.iid_field = loader.iid_field
         self.neg_field = loader.neg_prefix + loader.iid_field
@@ -425,10 +435,9 @@ def device_epoch_eligible(trainer, loader, config) -> bool:
         _jax.process_count() == 1
         and loader.local_step % trainer.mesh.shape["data"] == 0
     )
-    # NOTE feature files are NOT a blocker: `supports_device_epoch` on the
-    # model asserts its loss consumes only (uid, iid, neg_iid, weight) —
-    # BPR-family feature access rides `estate` matrices, not batch columns,
-    # so the host loader's feature joins are dead weight this path skips.
+    # `supports_device_epoch` on the model asserts its loss consumes only
+    # split columns (+ sampled negatives in pairwise mode, + joined
+    # feature columns in pointwise mode — which ARE provided on device).
     if loader.mode == "pairwise":
         sampling_ok = (
             loader.times == 1
