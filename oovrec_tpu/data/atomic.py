@@ -59,7 +59,9 @@ def load_atomic_file(
         usecols=usecols,
         dtype=dtype,
         encoding=encoding,
-        engine="python",
+        # the C engine (the reference's default, `dataset.py:484`) parses
+        # ~20× faster; it only requires a single-char separator
+        engine="c" if len(field_separator) == 1 else "python",
     )
     # preserve declared column order (usecols order is not guaranteed)
     df = df[usecols]

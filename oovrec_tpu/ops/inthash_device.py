@@ -15,8 +15,15 @@ Supported: '3round' (default), 'fast', '64bit', 'mod'.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_MASK16 = jnp.uint32(0xFFFF)
+# NOTE all constants here are NumPy scalars, never jnp arrays: a jnp
+# scalar is a device-resident Array that jax may LIFT into a hidden
+# computation parameter instead of baking as a literal (observed when a
+# mesh-traced program created it first — the next single-device program
+# then expects an extra argument its caller never supplies). NumPy
+# scalars always lower to literals.
+_MASK16 = np.uint32(0xFFFF)
 
 
 def _mul32(a, b):
@@ -35,16 +42,16 @@ def _mul32(a, b):
 
 def _mul64_const(ah, al, c: int):
     """(ah, al) * c mod 2^64 for a python constant c."""
-    ch = jnp.uint32((c >> 32) & 0xFFFFFFFF)
-    cl = jnp.uint32(c & 0xFFFFFFFF)
+    ch = np.uint32((c >> 32) & 0xFFFFFFFF)
+    cl = np.uint32(c & 0xFFFFFFFF)
     hi1, lo = _mul32(al, cl)
     hi = hi1 + al * ch + ah * cl
     return hi, lo
 
 
 def _add64_const(ah, al, c: int):
-    ch = jnp.uint32((c >> 32) & 0xFFFFFFFF)
-    cl = jnp.uint32(c & 0xFFFFFFFF)
+    ch = np.uint32((c >> 32) & 0xFFFFFFFF)
+    cl = np.uint32(c & 0xFFFFFFFF)
     lo = al + cl
     carry = (lo < al).astype(jnp.uint32)
     return ah + ch + carry, lo
@@ -104,12 +111,12 @@ def _mod64(ah, al, b: int, signed: bool):
     b must stay ≤ 2^16 so every intermediate product fits uint32 —
     OOV bucket counts are thousands, far below that."""
     assert 0 < b <= (1 << 16), f"n_buckets {b} too large for device mod"
-    b32 = jnp.uint32(b)
-    two32_mod = jnp.uint32((1 << 32) % b)
+    b32 = np.uint32(b)
+    two32_mod = np.uint32((1 << 32) % b)
     u_mod = ((ah % b32) * two32_mod + (al % b32)) % b32
     if signed:
         # signed value = U − 2^64·sign; floor-mod stays non-negative
-        corr = jnp.uint32((b - ((1 << 64) % b)) % b)
+        corr = np.uint32((b - ((1 << 64) % b)) % b)
         sign = ah >> 31
         u_mod = (u_mod + sign * corr) % b32
     return u_mod.astype(jnp.int32)

@@ -189,7 +189,7 @@ class DeviceEpoch:
         )
         CH = 4  # draw rounds per while iteration
 
-        def sample_negs(rng, u):
+        def sample_negs(rng, u, bitmap):
             """Bounded masked resampling against the used bitmap —
             `sampler.py:106-126` semantics (keep the FIRST unused of up
             to R uniform draws; give up after R like the host sampler).
@@ -200,12 +200,12 @@ class DeviceEpoch:
             (the R=64 eager version measured 3× slower end-to-end).
             Repeatable samplers (`RepeatableSampler`, sampler.py:371)
             skip used-pair avoidance entirely — one plain draw."""
-            if self.bitmap is None:
+            if bitmap is None:
                 return jax.random.randint(rng, (B,), 1, n_items, jnp.int32)
             lanes = jnp.arange(B)
 
             def test_used(c):
-                words = self.bitmap[u[None, :], c >> 5]
+                words = bitmap[u[None, :], c >> 5]
                 return ((words >> (c & 31)) & 1) == 1
 
             def cond(state):
@@ -305,18 +305,23 @@ class DeviceEpoch:
                 negf: neg, "weight": bw,
             }
 
+        # epoch arrays ride as EXPLICIT arguments (not jit closures): the
+        # implicit-constant path proved fragile when single-device and
+        # mesh epoch programs coexist in one process (buffer-count
+        # mismatches on executable reuse)
         @partial(jax.jit, **jit_kwargs)
-        def epoch_fn(params, extra_vars, opt_state, estate, rng, step0):
+        def epoch_fn(params, extra_vars, opt_state, estate, rng, step0,
+                     columns, weights, bitmap, user_feat, item_feat):
             perm_rng, samp_rng, drop_rng, oov_rng = jax.random.split(rng, 4)
-            n_pad = self.weights.shape[0]
+            n_pad = weights.shape[0]
             perm = jax.random.permutation(perm_rng, n_pad)
             cols = {
                 k: shard_steps(
                     v[perm].reshape((n_steps, B) + v.shape[1:])
                 )
-                for k, v in self.columns.items()
+                for k, v in columns.items()
             }
-            w = shard_steps(self.weights[perm].reshape(n_steps, B))
+            w = shard_steps(weights[perm].reshape(n_steps, B))
             idxs = step0 + jnp.arange(n_steps, dtype=jnp.int32)
 
             def train_step(carry, batch, idx):
@@ -361,7 +366,9 @@ class DeviceEpoch:
                     carry, loss = train_step(carry, batch, idx)
                     return carry, loss
                 bu, bi = bc[uidf], bc[iidf]
-                neg = sample_negs(jax.random.fold_in(samp_rng, idx), bu)
+                neg = sample_negs(
+                    jax.random.fold_in(samp_rng, idx), bu, bitmap
+                )
                 if self.mode == "pointwise":
                     # host layout (dataloader.py:229-244): every inter
                     # column tiled ×2, item column = [positives ∥ negs],
@@ -376,11 +383,11 @@ class DeviceEpoch:
                         [bw, jnp.zeros_like(bw)]
                     )
                     batch["weight"] = jnp.concatenate([bw, bw])
-                    if self.user_feat:
-                        for f, t in self.user_feat.items():
+                    if user_feat:
+                        for f, t in user_feat.items():
                             batch[f] = t[ids_u]
-                    if self.item_feat:
-                        for f, t in self.item_feat.items():
+                    if item_feat:
+                        for f, t in item_feat.items():
                             batch[f] = t[ids_i]
                     carry, loss = train_step(carry, batch, idx)
                     return carry, loss
@@ -412,9 +419,14 @@ class DeviceEpoch:
         return epoch_fn
 
     def run(self, params, extra_vars, opt_state, estate, rng, step0: int):
-        return self._fn(
-            params, extra_vars, opt_state, estate, rng, jnp.int32(step0)
+        if not jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+            rng = jax.random.wrap_key_data(rng)  # raw uint32[2] callers
+        args = (
+            params, extra_vars, opt_state, estate, rng, jnp.int32(step0),
+            self.columns, self.weights, self.bitmap,
+            self.user_feat, self.item_feat,
         )
+        return self._fn(*args)
 
 
 def device_epoch_eligible(trainer, loader, config) -> bool:
