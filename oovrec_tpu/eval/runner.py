@@ -171,6 +171,26 @@ class EvalRunner:
                        "data.label"}
         if collector.need & extra_needs:
             return False
+        # the scanned pass stacks every batch in device memory; bound it
+        # (estimated elements across all stacked arrays, from loader
+        # metadata — iterating here would consume the sampler RNG) so
+        # giant eval sets fall back to per-batch dispatch
+        max_el = float(self.config.get("device_eval_max_elements")
+                       or 5e8)
+        if type(eval_loader) is FullSortEvalBatcher:
+            per_batch = eval_loader.users_per_batch * (
+                eval_loader.max_pos + eval_loader.max_hist + 8
+            )
+        elif type(eval_loader) is NegSampleEvalBatcher:
+            per_batch = (
+                eval_loader.max_rows * (len(eval_loader.split.inter) + 3)
+                + eval_loader.max_pos * 2
+            )
+        else:  # SeqFullSortEvalBatcher
+            L = eval_loader.split.inter[eval_loader.list_field].shape[1]
+            per_batch = eval_loader.rows_per_batch * (2 * L + 8)
+        if per_batch * len(eval_loader) > max_el:
+            return False
         if flag == "auto":
             return n_rows >= 1024
         return bool(flag)
