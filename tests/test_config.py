@@ -73,3 +73,21 @@ def test_deep_update_of_nested_dicts():
     c = Config(config_dict={"eval_args": {"split": {"RS": [0.88, 0.02, 0.1]}}})
     assert c["eval_args"]["split"] == {"RS": [0.88, 0.02, 0.1]}
     assert c["eval_args"]["order"] == "RO"  # untouched default
+
+
+def test_dataset_url_registry():
+    """The bundled URL tables resolve; ensure_dataset finds local dirs
+    and raises a clear, layout-documenting error otherwise."""
+    import pytest as _pytest
+
+    from oovrec_tpu.utils.url import dataset_url_registry, ensure_dataset
+
+    reg = dataset_url_registry()
+    assert len(reg) > 100 and reg["ml-1m"].startswith("https://")
+    assert "ProcessedDatasets" in reg["ml-1m"]  # plain table, not KG
+    import os
+
+    assets = os.path.join(os.path.dirname(__file__), "assets")
+    assert ensure_dataset("toy", assets).endswith("toy")
+    with _pytest.raises(FileNotFoundError):
+        ensure_dataset("definitely-not-a-dataset", "/tmp/nowhere/")
