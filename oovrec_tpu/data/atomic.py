@@ -53,6 +53,25 @@ def load_atomic_file(
     if not columns:
         return pd.DataFrame(), {}
 
+    # native one-pass parse + token coding (C++, data/native_reader.py):
+    # serves scalar-column files (the multi-M-row .inter hot case); token
+    # columns come back as Categoricals whose categories are in
+    # pd.factorize order — `Dataset._remap_fields` merges them without
+    # materializing strings. Seq columns / empty cells → pandas below.
+    if all(
+        field2type[f] in (FeatureType.TOKEN, FeatureType.FLOAT)
+        for f in columns
+    ):
+        from oovrec_tpu.data.native_reader import read_atomic_native
+
+        header_fields = head.split(field_separator)
+        phys = [header_fields.index(u) for u in usecols]
+        ndf = read_atomic_native(
+            filepath, columns, phys, field2type, field_separator
+        )
+        if ndf is not None:
+            return ndf, field2type
+
     df = pd.read_csv(
         filepath,
         delimiter=field_separator,

@@ -267,6 +267,10 @@ class Dataset:
                 if not iv:
                     return set()
                 counts = inter[field].value_counts()
+                # Categorical columns (native reader) report dropped
+                # categories with count 0 — phantom ids that would make
+                # the k-core loop ban them forever
+                counts = counts[counts > 0]
                 ids = set(counts.index[
                     ~_in_interval(counts.values.astype(np.float64), iv)
                 ])
@@ -346,21 +350,59 @@ class Dataset:
         if not remap_list:
             return
 
-        chunks = []
+        # each chunk becomes (codes, uniques-in-first-appearance-order):
+        # native-parsed Categoricals already carry exactly that; string
+        # chunks factorize per-chunk. Merging chunk vocabularies in
+        # first-appearance order reproduces pd.factorize over the
+        # concatenated token stream bit-for-bit, without materializing
+        # strings for the (multi-M-row) categorical case.
+        pairs = []
         for feat, field, ftype in remap_list:
             if ftype == FeatureType.TOKEN:
-                chunks.append(feat[field].values.astype(str))
+                col = feat[field]
+                if isinstance(col.dtype, pd.CategoricalDtype):
+                    codes = np.asarray(col.cat.codes, dtype=np.int64)
+                    cats = np.asarray(col.cat.categories, dtype=object)
+                    # row filtering leaves unused categories behind;
+                    # compact to the FILTERED stream's first-appearance
+                    # order — exactly pd.factorize over its strings
+                    used, first_pos, inv = np.unique(
+                        codes, return_index=True, return_inverse=True
+                    )
+                    if len(used) != len(cats) or (
+                        len(used) and not np.all(np.diff(first_pos) > 0)
+                    ):
+                        order = np.argsort(first_pos, kind="stable")
+                        rank = np.empty(len(used), np.int64)
+                        rank[order] = np.arange(len(used))
+                        codes = rank[inv]
+                        cats = cats[used[order]]
+                    pairs.append((codes, cats))
+                    continue
+                arr = col.values.astype(str)
             else:  # TOKEN_SEQ
                 vals = list(feat[field].values)
-                chunks.append(
-                    np.concatenate(vals) if vals else np.array([], dtype=str)
-                )
-        split_point = np.cumsum([len(c) for c in chunks])[:-1]
-        tokens = np.concatenate(chunks) if chunks else np.array([], dtype=str)
+                arr = (np.concatenate(vals) if vals
+                       else np.array([], dtype=str))
+            codes, uniq = pd.factorize(arr)
+            pairs.append((codes.astype(np.int64), np.asarray(uniq)))
 
-        new_ids, uniques = pd.factorize(tokens)
-        new_ids_list = np.split(new_ids + 1, split_point)
-        mp = np.array(["[PAD]"] + list(uniques))
+        lookup: Dict = {}
+        merged: List = []
+        new_ids_list = []
+        for codes, uniq in pairs:
+            remap = np.empty(len(uniq), np.int64)
+            for j, t in enumerate(uniq):
+                g = lookup.get(t)
+                if g is None:
+                    g = len(merged)
+                    lookup[t] = g
+                    merged.append(t)
+                remap[j] = g
+            new_ids_list.append(
+                (remap[codes] if len(uniq) else codes) + 1
+            )
+        mp = np.array(["[PAD]"] + merged)
         token_id = {t: i for i, t in enumerate(mp)}
 
         for (feat, field, ftype), ids in zip(remap_list, new_ids_list):

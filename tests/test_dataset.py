@@ -275,3 +275,45 @@ def test_decisiontree_trainer_gated():
     t.fit(tr, va)
     res = t.evaluate(te)
     assert "auc" in res
+
+
+def test_native_reader_parity_with_pandas():
+    """The C++ atomic reader must produce the same frame content as the
+    pandas path (token columns as Categoricals in pd.factorize order)."""
+    import pandas as pd
+
+    from oovrec_tpu.data import native_reader
+    from oovrec_tpu.data.atomic import load_atomic_file
+
+    if not native_reader.native_available():
+        import pytest as _pytest
+
+        _pytest.skip("no C++ toolchain")
+    path = os.path.join(ASSETS, "toy", "toy.inter")
+    df_n, t_n = load_atomic_file(path)  # native path (scalar columns)
+    assert isinstance(df_n["user_id"].dtype, pd.CategoricalDtype)
+    # force the pandas path by reading via read_csv semantics
+    import oovrec_tpu.data.atomic as atomic_mod
+
+    orig = native_reader.read_atomic_native
+    try:
+        native_reader.read_atomic_native = lambda *a, **k: None
+        import importlib
+
+        df_p, t_p = load_atomic_file(path)
+    finally:
+        native_reader.read_atomic_native = orig
+    assert t_n == t_p
+    assert len(df_n) == len(df_p)
+    for col in df_p.columns:
+        a = df_n[col].astype(str) if col in ("user_id", "item_id") \
+            else df_n[col]
+        b = df_p[col].astype(str) if col in ("user_id", "item_id") \
+            else df_p[col]
+        assert (np.asarray(a) == np.asarray(b)).all() or np.allclose(
+            np.asarray(a, float), np.asarray(b, float), equal_nan=True
+        ), col
+    # factorize-order categories
+    cats = list(df_n["user_id"].cat.categories)
+    seen = list(dict.fromkeys(df_p["user_id"].astype(str)))
+    assert cats == seen
