@@ -42,7 +42,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 try:
                     subprocess.run(
                         [cc, "-O3", "-std=c++17", "-shared", "-fPIC",
-                         src, "-o", so],
+                         "-pthread", src, "-o", so],
                         check=True, capture_output=True, timeout=180,
                     )
                     break

@@ -14,11 +14,13 @@
 //
 // C ABI (ctypes): parse → opaque handle → getters → free.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 #include <cstdio>
@@ -43,6 +45,71 @@ struct Parsed {
     std::vector<TokenCol> tokens;  // parallel (entry unused for floats)
     std::vector<FloatCol> floats;
 };
+
+}  // namespace
+
+namespace {
+
+// Parse [s, end) rows into `out` (a per-thread Parsed with local token
+// ids). Single-threaded worker reused across the thread fan-out.
+void parse_range(Parsed* out, const char* s, const char* end, char sep,
+                 int max_phys) {
+    int n_cols = (int)out->col_idx.size();
+    std::vector<const char*> starts(max_phys + 2);
+    std::vector<const char*> ends(max_phys + 2);
+    while (s < end) {
+        const char* line_end = (const char*)memchr(s, '\n', end - s);
+        if (!line_end) line_end = end;
+        if (line_end == s) { s = line_end + 1; continue; }  // blank line
+
+        int col = 0;
+        const char* cs = s;
+        for (const char* c = s; c <= line_end && col <= max_phys + 1; ++c) {
+            if (c == line_end || *c == sep) {
+                starts[col] = cs;
+                ends[col] = (c > cs && c[-1] == '\r') ? c - 1 : c;
+                cs = c + 1;
+                ++col;
+            }
+        }
+        for (int i = 0; i < n_cols; ++i) {
+            int ci = out->col_idx[i];
+            const char* vs = ci < col ? starts[ci] : line_end;
+            const char* ve = ci < col ? ends[ci] : line_end;
+            if (out->col_type[i] == 0) {
+                TokenCol& tc = out->tokens[i];
+                if (vs == ve) {
+                    tc.empty_cells++;
+                    tc.codes.push_back(-1);
+                } else {
+                    std::string tok(vs, ve - vs);
+                    auto it = tc.map.find(tok);
+                    int32_t code;
+                    if (it == tc.map.end()) {
+                        code = (int32_t)tc.uniques.size();
+                        tc.map.emplace(tok, code);
+                        tc.uniques.push_back(std::move(tok));
+                    } else {
+                        code = it->second;
+                    }
+                    tc.codes.push_back(code);
+                }
+            } else {
+                if (vs == ve) {
+                    out->floats[i].vals.push_back(std::nan(""));
+                } else {
+                    char* endp = nullptr;
+                    std::string tmp(vs, ve - vs);
+                    double v = std::strtod(tmp.c_str(), &endp);
+                    if (endp == tmp.c_str()) v = std::nan("");
+                    out->floats[i].vals.push_back(v);
+                }
+            }
+        }
+        out->n_rows++;
+        s = line_end + 1;
+    }
+}
 
 }  // namespace
 
@@ -80,62 +147,69 @@ void* ar_parse(const char* path, int n_cols, const int* col_idx,
     if (!nl) { delete p; return nullptr; }
     s = nl + 1;
 
-    std::vector<const char*> starts(max_phys + 2);
-    std::vector<const char*> ends(max_phys + 2);
+    // chunk at line boundaries and parse in parallel; per-chunk token
+    // ids merge in CHUNK ORDER, which reproduces global
+    // first-appearance coding exactly (a token's earliest occurrence is
+    // in the earliest chunk that contains it)
+    unsigned hw = std::thread::hardware_concurrency();
+    size_t n_threads = std::max(1u, std::min(hw ? hw : 1u, 16u));
+    if ((size_t)(end - s) < (size_t)1 << 22) n_threads = 1;  // small file
+    std::vector<const char*> bounds;
+    bounds.push_back(s);
+    for (size_t t = 1; t < n_threads; ++t) {
+        const char* guess = s + (end - s) * t / n_threads;
+        const char* b = (const char*)memchr(
+            guess, '\n', end - guess);
+        bounds.push_back(b ? b + 1 : end);
+    }
+    bounds.push_back(end);
+    std::sort(bounds.begin(), bounds.end());
 
-    while (s < end) {
-        const char* line_end = (const char*)memchr(s, '\n', end - s);
-        if (!line_end) line_end = end;
-        if (line_end == s) { s = line_end + 1; continue; }  // blank line
+    std::vector<Parsed> parts(n_threads);
+    std::vector<std::thread> threads;
+    for (size_t t = 0; t < n_threads; ++t) {
+        parts[t].col_idx = p->col_idx;
+        parts[t].col_type = p->col_type;
+        parts[t].tokens.resize(n_cols);
+        parts[t].floats.resize(n_cols);
+        threads.emplace_back(parse_range, &parts[t], bounds[t],
+                             bounds[t + 1], sep, max_phys);
+    }
+    for (auto& th : threads) th.join();
 
-        // split the needed prefix of the line
-        int col = 0;
-        const char* cs = s;
-        for (const char* c = s; c <= line_end && col <= max_phys + 1; ++c) {
-            if (c == line_end || *c == sep) {
-                starts[col] = cs;
-                ends[col] = (c > cs && c[-1] == '\r') ? c - 1 : c;
-                cs = c + 1;
-                ++col;
-            }
-        }
-        for (int i = 0; i < n_cols; ++i) {
-            int ci = p->col_idx[i];
-            const char* vs = ci < col ? starts[ci] : line_end;
-            const char* ve = ci < col ? ends[ci] : line_end;
-            if (p->col_type[i] == 0) {
-                TokenCol& tc = p->tokens[i];
-                if (vs == ve) {
-                    tc.empty_cells++;
-                    tc.codes.push_back(-1);
-                } else {
-                    std::string tok(vs, ve - vs);
-                    auto it = tc.map.find(tok);
-                    int32_t code;
-                    if (it == tc.map.end()) {
-                        code = (int32_t)tc.uniques.size();
-                        tc.map.emplace(tok, code);
-                        tc.uniques.push_back(std::move(tok));
+    for (size_t t = 0; t < n_threads; ++t)
+        p->n_rows += parts[t].n_rows;
+    for (int i = 0; i < n_cols; ++i) {
+        if (p->col_type[i] == 0) {
+            TokenCol& g = p->tokens[i];
+            g.codes.reserve(p->n_rows);
+            for (size_t t = 0; t < n_threads; ++t) {
+                TokenCol& lc = parts[t].tokens[i];
+                g.empty_cells += lc.empty_cells;
+                // local-id → global-id (first-appearance across chunks)
+                std::vector<int32_t> remap(lc.uniques.size());
+                for (size_t j = 0; j < lc.uniques.size(); ++j) {
+                    auto it = g.map.find(lc.uniques[j]);
+                    if (it == g.map.end()) {
+                        int32_t gid = (int32_t)g.uniques.size();
+                        g.map.emplace(lc.uniques[j], gid);
+                        g.uniques.push_back(std::move(lc.uniques[j]));
+                        remap[j] = gid;
                     } else {
-                        code = it->second;
+                        remap[j] = it->second;
                     }
-                    tc.codes.push_back(code);
                 }
-            } else {
-                if (vs == ve) {
-                    p->floats[i].vals.push_back(
-                        std::nan(""));
-                } else {
-                    char* endp = nullptr;
-                    std::string tmp(vs, ve - vs);
-                    double v = std::strtod(tmp.c_str(), &endp);
-                    if (endp == tmp.c_str()) v = std::nan("");
-                    p->floats[i].vals.push_back(v);
-                }
+                for (int32_t c : lc.codes)
+                    g.codes.push_back(c < 0 ? c : remap[c]);
+            }
+        } else {
+            FloatCol& g = p->floats[i];
+            g.vals.reserve(p->n_rows);
+            for (size_t t = 0; t < n_threads; ++t) {
+                auto& v = parts[t].floats[i].vals;
+                g.vals.insert(g.vals.end(), v.begin(), v.end());
             }
         }
-        p->n_rows++;
-        s = line_end + 1;
     }
     return p;
 }
