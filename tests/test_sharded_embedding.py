@@ -122,3 +122,25 @@ def test_alltoall_lookup_overflow_counts():
             or np.allclose(out[i], 0.0)
         )
     assert np.any(np.all(out == 0.0, axis=1))
+
+
+def test_make_lookup_auto_selection():
+    """auto → psum at model<4, all-to-all at model>=4; both normalize to
+    a plain (table, ids) -> rows callable."""
+    from oovrec_tpu.parallel.sharded_embedding import make_lookup
+
+    rng = np.random.default_rng(6)
+    V, D, B = 32, 4, 32
+    table = rng.standard_normal((V, D)).astype(np.float32)
+    ids = rng.integers(0, V, B).astype(np.int32)
+
+    for n_data, n_model in ((4, 2), (2, 4)):
+        mesh = make_mesh(n_data, n_model)
+        st = place_sharded_table(mesh, table)
+        f = make_lookup(mesh, "auto", capacity_factor=8.0)
+        out = jax.jit(f)(st, jnp.asarray(ids))
+        np.testing.assert_allclose(np.asarray(out), table[ids], rtol=1e-6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_lookup(make_mesh(4, 2), "bogus")
