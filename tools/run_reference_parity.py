@@ -184,7 +184,9 @@ def paper_args(ns) -> dict:
         args["valid_metric"] = "RMSE"
         args["metrics"] = ["AUC", "RMSE"]
         args["model_eval_type"] = "ranking"
-        args["threshold"] = {"rating": 4}
+        # synth corpora have no rating column; labels come from the
+        # 1-neg pointwise expansion (the round-1 ranking protocol)
+        args["threshold"] = None
     args["eval_args"] = {
         "split": {"RS": [0.88, 0.02, 0.1]},
         "group_by": None,
