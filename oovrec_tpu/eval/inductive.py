@@ -34,7 +34,7 @@ OOV scores) don't resolve by index order.
 from __future__ import annotations
 
 from collections import OrderedDict
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

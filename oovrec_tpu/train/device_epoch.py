@@ -38,7 +38,7 @@ tiny fixture runs keep the host path's seeded trajectories.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
