@@ -239,9 +239,36 @@ def epoch_cpu_baseline() -> float:
     return _cached_probe(EPOCH_SIG, "--epoch-cpu-probe")
 
 
+def _device_reachable(timeout_s: float = 180.0) -> bool:
+    """Probe the (possibly tunneled) default device in a subprocess: a
+    dead tunnel hangs forever on the first computation, which would
+    otherwise hang the whole benchmark run."""
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float((jnp.ones((64,64))@jnp.ones((64,64))).sum()))")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     if "--cpu-probe" in sys.argv:
         print(measure(platform="cpu", steps=10))
+        return
+    if "--epoch-cpu-probe" not in sys.argv and not _device_reachable():
+        print(json.dumps({
+            "metric": "bpr_oov_train_throughput",
+            "value": None,
+            "unit": "examples/s",
+            "vs_baseline": None,
+            "error": "default device unreachable (tunnel down?) — "
+                     "probe matmul timed out",
+        }))
         return
     if "--epoch-cpu-probe" in sys.argv:
         train_eps, _ = measure_epoch(platform="cpu", epochs=1)
