@@ -83,6 +83,17 @@ def perform_inductive_eval(
 
     logger = init_logger()
 
+    if orig_dataset is None:
+        # standalone entry: restore everything from the checkpoint alone
+        # (the reference's perform_hashing.py rebuilds via
+        # load_data_and_model, `perform_hashing.py:95-100`)
+        from oovrec_tpu.cli.quick_start import load_data_and_model
+
+        loaded = load_data_and_model(checkpoint_path)
+        orig_dataset = loaded.dataset
+        if config is None:
+            config = loaded.config
+
     with open(checkpoint_path, "rb") as f:
         ckpt = pickle.load(f)
     if config is None:

@@ -161,6 +161,11 @@ def run(
 ):
     """Full train+eval run (`quick_start.py:42` run_recbole analog)."""
     config = Config(model, dataset, config_file_list, config_dict)
+    # `--jax_platforms=cpu` pins the backend BEFORE first device use (this
+    # jax build ignores the JAX_PLATFORMS env var; the config API is the
+    # only working override — parity tooling and CPU A/B runs rely on it)
+    if config["jax_platforms"]:
+        jax.config.update("jax_platforms", str(config["jax_platforms"]))
     # multi-host bootstrap BEFORE any device use (the reference's NCCL
     # process-group init, `configurator.py:487-516`; here
     # jax.distributed.initialize wires every host into one runtime so the
@@ -257,3 +262,71 @@ def objective_function(config_dict=None, config_file_list=None, saved: bool = Fa
         "best_valid_result": res["best_valid_result"],
         "test_result": res["test_result"],
     }
+
+
+import dataclasses as _dc
+
+
+@_dc.dataclass
+class LoadedRun:
+    """Everything `load_data_and_model` restores. Iterating yields the
+    reference's 6-tuple `(config, model, dataset, train_data, valid_data,
+    test_data)` (`recbole/quick_start/quick_start.py:168-200`) so existing
+    call sites unpack it reference-style; the extra functional-state
+    fields (variables/estate/trainer) ride as attributes."""
+
+    config: Any
+    model: Any
+    dataset: Any
+    train_loader: Any
+    valid_loader: Any
+    test_loader: Any
+    variables: Dict[str, Any]
+    estate: Dict[str, Any]
+    trainer: Any
+
+    def __iter__(self):
+        return iter((self.config, self.model, self.dataset,
+                     self.train_loader, self.valid_loader, self.test_loader))
+
+
+def load_data_and_model(model_file: str,
+                        config_overrides: Optional[Dict[str, Any]] = None
+                        ) -> LoadedRun:
+    """One-call checkpoint restore (`quick_start.py:168` analog): the
+    resolved config stored in the checkpoint rebuilds the dataset,
+    loaders and model, then params/extra-vars/estate are restored — so
+    analysis entry points (eval-only re-runs, case studies, significance
+    re-evaluation) stop re-deriving the rebuild dance by hand.
+
+    The same seed re-seeds loader RNG streams, so a `trainer.evaluate`
+    on the returned loaders reproduces the saved run's test metrics
+    exactly (uniN candidate redraws included)."""
+    import pickle
+
+    with open(model_file, "rb") as f:
+        state = pickle.load(f)
+    cfg_dict = dict(state["config"])
+    if config_overrides:
+        cfg_dict.update(config_overrides)
+    config = Config(config_dict=cfg_dict)
+    init_seed(int(config["seed"] or 2020), config["reproducibility"])
+    from oovrec_tpu.utils.precision import set_policy
+
+    set_policy(config.get("compute_dtype", "float32"))
+    ds = create_dataset(config)
+    train_loader, valid_loader, test_loader = data_preparation(config, ds)
+    template = train_loader._make_batch(
+        np.arange(min(2, max(len(ds.build()[0]), 1)))
+    )
+    model, variables, estate = build_model_and_state(
+        config, ds, template_batch=template
+    )
+    trainer = Trainer(config, model, variables, estate)
+    trainer.resume_checkpoint(model_file)
+    return LoadedRun(
+        config=config, model=model, dataset=ds,
+        train_loader=train_loader, valid_loader=valid_loader,
+        test_loader=test_loader, variables=trainer.variables,
+        estate=trainer.estate, trainer=trainer,
+    )

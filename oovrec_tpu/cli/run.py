@@ -91,6 +91,8 @@ def main(argv=None) -> Dict[str, Any]:
     from oovrec_tpu.cli.inductive_eval import perform_inductive_eval
 
     args = parse_cli_args(argv if argv is not None else sys.argv[1:])
+    if args.get("eval_only"):
+        return eval_only(args)
     if "model" not in args or "dataset" not in args:
         raise SystemExit("usage: run.py --model=<M> --dataset=<D> [--k=v ...]")
 
@@ -129,6 +131,50 @@ def main(argv=None) -> Dict[str, Any]:
             },
         }
         with open(args["results_json"], "w") as f:
+            json.dump(payload, f, indent=1)
+    return res
+
+
+def eval_only(args: Dict[str, Any]) -> Dict[str, Any]:
+    """`--eval_only=<checkpoint.pth>`: restore a saved run in one call
+    (quick_start.load_data_and_model) and reproduce its test evaluation
+    — optionally the 7-slice inductive eval too — without training.
+    Remaining `--k=v` args override the checkpoint's stored config."""
+    from oovrec_tpu.cli.inductive_eval import perform_inductive_eval
+    from oovrec_tpu.cli.quick_start import load_data_and_model
+
+    path = args.pop("eval_only")
+    inductive = args.pop("inductive_eval", False)
+    results_json = args.pop("results_json", None)
+    for k in ("model", "dataset"):  # identity comes from the checkpoint
+        args.pop(k, None)
+    loaded = load_data_and_model(path, config_overrides=args or None)
+    trainer = loaded.trainer
+    test_result = trainer.evaluate(loaded.test_loader, load_best_model=False)
+    trainer.logger.info(f"test result: {test_result}")
+    res: Dict[str, Any] = {
+        "test_result": test_result,
+        "config": loaded.config,
+        "dataset": loaded.dataset,
+        "trainer": trainer,
+    }
+    if inductive:
+        print("Performing inductive evaluation...")
+        res["inductive_results"] = perform_inductive_eval(
+            loaded.dataset, path, config=loaded.config
+        )
+    if results_json:
+        payload = {
+            "model": loaded.config["model"],
+            "dataset": loaded.config["dataset"],
+            "seed": loaded.config["seed"],
+            "test_result": {k: float(v) for k, v in test_result.items()},
+            "inductive": {
+                s: {k: float(v) for k, v in r.items()}
+                for s, r in (res.get("inductive_results") or {}).items()
+            },
+        }
+        with open(results_json, "w") as f:
             json.dump(payload, f, indent=1)
     return res
 

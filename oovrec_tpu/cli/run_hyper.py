@@ -1,7 +1,10 @@
 """Hyper-tuning CLI (`RecBole/run_hyper.py` analog).
 
     python -m oovrec_tpu.cli.run_hyper --model=BPR --dataset=ml-1m \
-        --params_file=bpr.hyper --algo=exhaustive --max_evals=50
+        --params_file=bpr.hyper --algo=bayes --max_evals=50
+
+algo: exhaustive | random | bayes (TPE-style sequential search, the
+reference's hyperopt default — `recbole/trainer/hyper_tuning.py:157,408`).
 """
 
 from __future__ import annotations
@@ -21,6 +24,12 @@ def main(argv=None):
     max_evals = int(args.pop("max_evals", 100))
     output_file = args.pop("output_file", "hyper_result.txt")
 
+    tpe_kwargs = {
+        k: t(args.pop(k))
+        for k, t in (("n_startup", int), ("gamma", float),
+                     ("n_candidates", int))
+        if k in args
+    }
     ht = HyperTuning(
         objective_function,
         algo=algo,
@@ -28,6 +37,7 @@ def main(argv=None):
         fixed_config_dict=args,
         max_evals=max_evals,
         seed=int(args.get("seed", 2020)),
+        **tpe_kwargs,
     )
     ht.run()
     ht.export_result(output_file)

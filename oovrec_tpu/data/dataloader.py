@@ -568,6 +568,13 @@ class NegSampleEvalBatcher:
 
     def __iter__(self) -> Iterator[Batch]:
         inter = self.split.inter
+        # per-pass candidate stream, independent of the sampler's shared
+        # training stream: every eval pass (and a checkpoint reload) draws
+        # the IDENTICAL uniN candidate sets regardless of how many
+        # training batches were sampled before it
+        eval_rng = host_rng(
+            int(self.config["seed"] or 0), f"eval_sampling_{self.phase}"
+        )
         for bstart in range(0, len(self.uid_list), self.step):
             users = self.uid_list[bstart : bstart + self.step]
             cols: Dict[str, List[np.ndarray]] = {k: [] for k in inter.keys()}
@@ -581,7 +588,8 @@ class NegSampleEvalBatcher:
                 n_pos = e - s
                 pos_items = inter[self.iid_field][ridx]
                 neg = self.sampler.sample_negatives(
-                    self.phase, inter[self.uid_field][ridx], self.sample_num
+                    self.phase, inter[self.uid_field][ridx], self.sample_num,
+                    rng=eval_rng,
                 ).flatten(order="F")
                 for k in inter.keys():
                     v = inter[k][ridx]

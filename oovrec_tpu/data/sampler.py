@@ -85,11 +85,12 @@ class Sampler:
         else:
             self._pop_p = None
 
-    def _draw(self, n: int) -> np.ndarray:
+    def _draw(self, n: int, rng=None) -> np.ndarray:
+        rng = rng if rng is not None else self.rng
         if self.distribution == "uniform":
-            return self.rng.integers(1, self.item_num, size=n, dtype=np.int64)
+            return rng.integers(1, self.item_num, size=n, dtype=np.int64)
         if self.distribution == "popularity":
-            return self.rng.choice(self.item_num, size=n, p=self._pop_p)
+            return rng.choice(self.item_num, size=n, p=self._pop_p)
         raise NotImplementedError(
             f"The distribution [{self.distribution}] has not been implemented."
         )
@@ -104,24 +105,30 @@ class Sampler:
         return keys[pos] == q
 
     def sample_negatives(
-        self, phase: str, users: np.ndarray, num: int
+        self, phase: str, users: np.ndarray, num: int, rng=None
     ) -> np.ndarray:
         """Sample `num` negatives per user row → (len(users), num) int64.
 
         Repeatable mode (`RepeatableSampler`, `sampler.py:371`) skips the
         used-ID avoidance entirely — any item can be a negative.
+
+        `rng` substitutes a caller-owned stream for the sampler's shared
+        cumulative one — eval batchers pass a per-pass stream so eval
+        candidates don't depend on how many training draws preceded them
+        (order-independent reproducibility; checkpoint reloads re-derive
+        identical uniN candidate sets).
         """
         users = np.asarray(users, dtype=np.int64)
         total = len(users) * num
         rep_users = np.repeat(users, num)
-        neg = self._draw(total)
+        neg = self._draw(total, rng)
         if not self.repeatable:
             for _ in range(_MAX_RESAMPLE_ROUNDS):
                 bad = self._is_used(phase, rep_users, neg)
                 n_bad = int(bad.sum())
                 if n_bad == 0:
                     break
-                neg[bad] = self._draw(n_bad)
+                neg[bad] = self._draw(n_bad, rng)
         return neg.reshape(len(users), num)
 
 

@@ -31,3 +31,30 @@ def full_sort_topk(uid_list, model, variables, k, estate=None,
     )
     idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
     return np.take_along_axis(scores, idx, axis=1), idx
+
+
+def case_study_from_checkpoint(user_tokens, model_file: str, k: int = 10):
+    """External-token case study straight from a checkpoint file: restore
+    via `quick_start.load_data_and_model`, map tokens → internal ids,
+    mask each user's training history, return (scores, item_tokens) of
+    the top-k — the reference's documented case-study recipe
+    (`recbole/utils/case_study.py:17-35` + `quick_start.py:168`)."""
+    from oovrec_tpu.cli.quick_start import load_data_and_model
+
+    loaded = load_data_and_model(model_file)
+    ds = loaded.dataset
+    uids = np.asarray(
+        [ds.token2id(ds.uid_field, str(t)) for t in user_tokens], np.int32
+    )
+    train_split = loaded.train_loader.split
+    uidx = np.asarray(train_split.inter[ds.uid_field])
+    iidx = np.asarray(train_split.inter[ds.iid_field])
+    hist = {int(u): iidx[uidx == u] for u in uids}
+    scores, topk = full_sort_topk(
+        uids, loaded.model, loaded.variables, k,
+        estate=loaded.estate, hist_per_user=hist,
+    )
+    tokens = np.asarray(ds.id2token(ds.iid_field, topk.reshape(-1))).reshape(
+        topk.shape
+    )
+    return scores, tokens

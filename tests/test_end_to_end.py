@@ -79,6 +79,62 @@ def test_checkpoint_roundtrip(tmp_path):
     assert r1 is None  # None loader → None
 
 
+def test_load_data_and_model_roundtrip(tmp_path):
+    """`load_data_and_model` (round-3, reference `quick_start.py:168`):
+    one call restores (config, model, dataset, loaders) + functional
+    state from a checkpoint, and an eval on the restored loaders
+    reproduces the saved run's test metrics exactly (uniN candidate
+    redraws included — same seed, same streams)."""
+    from oovrec_tpu.cli.quick_start import load_data_and_model
+
+    cfg = _cfg(checkpoint_dir=str(tmp_path))
+    cfg["eval_args"]["mode"] = "uni3"  # exercise candidate redraw too
+    res = run(config_dict=cfg, saved=True)
+    expected = res["trainer"].evaluate(None) or res["test_result"]
+
+    loaded = load_data_and_model(res["trainer"].saved_model_file)
+    # reference-style 6-tuple unpack works
+    config, model, dataset, train_l, valid_l, test_l = loaded
+    assert config["model"] == "BPR"
+    assert dataset.user_num == res["dataset"].user_num
+    got = loaded.trainer.evaluate(test_l, load_best_model=False)
+    for k, v in expected.items():
+        assert got[k] == pytest.approx(float(v), abs=1e-9), k
+
+
+def test_eval_only_cli(tmp_path):
+    """`--eval_only=<ckpt>` runs no training and reproduces the saved
+    run's test metrics through the production CLI driver."""
+    import json as _json
+
+    from oovrec_tpu.cli.run import main as cli_main
+
+    cfg = _cfg(checkpoint_dir=str(tmp_path))
+    res = run(config_dict=cfg, saved=True)
+    out_json = tmp_path / "eval_only.json"
+    cli_main([
+        f"--eval_only={res['trainer'].saved_model_file}",
+        f"--results_json={out_json}",
+    ])
+    payload = _json.loads(out_json.read_text())
+    for k, v in res["test_result"].items():
+        assert payload["test_result"][k] == pytest.approx(float(v), abs=1e-9)
+
+
+def test_case_study_from_checkpoint(tmp_path):
+    from oovrec_tpu.utils.case_study import case_study_from_checkpoint
+
+    cfg = _cfg(checkpoint_dir=str(tmp_path))
+    res = run(config_dict=cfg, saved=True)
+    ds = res["dataset"]
+    token = ds.id2token(ds.uid_field, [1])[0]
+    scores, tokens = case_study_from_checkpoint(
+        [token], res["trainer"].saved_model_file, k=3
+    )
+    assert scores.shape == (1, 3) and tokens.shape == (1, 3)
+    assert np.all(np.diff(scores[0]) <= 0)  # sorted descending
+
+
 def test_bpr_memorizes_tiny_dataset():
     """With enough epochs on the tiny corpus, train-set metrics should be
     high — sanity that gradient flow + eval protocol work together."""
