@@ -382,6 +382,7 @@ class FullSortEvalBatcher:
             process_index, process_count
         )
         self.n_global_users = len(uids)
+        all_uids = uids
         if self.process_count > 1:
             self.users_per_batch = max(
                 1, self.users_per_batch // self.process_count
@@ -394,15 +395,21 @@ class FullSortEvalBatcher:
         else:
             used = [np.array([], dtype=np.int64)] * split.user_num
 
-        self._pos: List[np.ndarray] = []
-        self._hist: List[np.ndarray] = []
-        for u in self.uid_list:
+        # pad dims over the GLOBAL user set: multi-process SPMD eval needs
+        # every process to emit identically-shaped batches — local maxima
+        # differ per shard and desync the cross-host collectives
+        per_u = {}
+        for u in all_uids:
             pos = np.asarray(pos_per_user[u], dtype=np.int64)
-            hist = np.setdiff1d(used[u], pos)
-            self._pos.append(pos)
-            self._hist.append(hist)
-        self.max_pos = max((len(p) for p in self._pos), default=1) or 1
-        self.max_hist = max((len(h) for h in self._hist), default=1) or 1
+            per_u[u] = (pos, np.setdiff1d(used[u], pos))
+        self.max_pos = max(
+            (len(p) for p, _ in per_u.values()), default=1
+        ) or 1
+        self.max_hist = max(
+            (len(h) for _, h in per_u.values()), default=1
+        ) or 1
+        self._pos: List[np.ndarray] = [per_u[u][0] for u in self.uid_list]
+        self._hist: List[np.ndarray] = [per_u[u][1] for u in self.uid_list]
 
     def __len__(self) -> int:
         max_local = -(-self.n_global_users // self.process_count)

@@ -141,11 +141,18 @@ class Collector:
 class Evaluator:
     """Metric names → values from a DataStruct (`evaluator.py:27-41`)."""
 
-    def __init__(self, config):
+    def __init__(self, config, decimal_place=None):
         self.config = config
         self.metrics = [m.lower() for m in config["metrics"]]
         self.topk = config["topk"]
-        self.decimal_place = config["metric_decimal_place"]
+        # `decimal_place` override: the multi-process metric map-reduce
+        # must average UNROUNDED locals (a weighted mean of 4-decimal
+        # roundings carries O(1e-4) bias) — the runner evaluates at full
+        # precision pre-reduce and rounds the merged result once
+        self.decimal_place = (
+            decimal_place if decimal_place is not None
+            else config["metric_decimal_place"]
+        )
 
     def evaluate(self, struct: DataStruct) -> "OrderedDict[str, float]":
         result: "OrderedDict[str, float]" = OrderedDict()

@@ -484,12 +484,24 @@ class EvalRunner:
             else:
                 raise NotImplementedError(type(eval_loader))
 
-        evaluator = Evaluator(self.config)
+        import jax as _jax
+
+        multiproc = self.mesh is not None and _jax.process_count() > 1
+        # pre-reduce locals stay unrounded (12 dp); the merged result is
+        # rounded once to the configured precision
+        evaluator = Evaluator(
+            self.config, decimal_place=12 if multiproc else None
+        )
         result = evaluator.evaluate(collector.get_data_struct())
         if self.mesh is not None:
             from oovrec_tpu.parallel.distributed import map_reduce_metrics
 
             result = map_reduce_metrics(result, int(n_local))
+            if multiproc:
+                dp = int(self.config["metric_decimal_place"])
+                result = type(result)(
+                    (k, round(float(v), dp)) for k, v in result.items()
+                )
         return result
 
 

@@ -26,6 +26,13 @@ def initialize_distributed(
     """`jax.distributed.initialize` wrapper; no-op on a single host."""
     import jax
 
+    try:
+        # CPU backend cross-process collectives need gloo (harmless on
+        # TPU: the option only affects the cpu platform). Enables the
+        # live multi-process tests and CPU pod-sim runs.
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # noqa: BLE001 — older builds lack the option
+        pass
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

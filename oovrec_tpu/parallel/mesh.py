@@ -145,6 +145,26 @@ def place_batch(mesh: Mesh, batch):
     )
 
 
+def put_replicated(mesh: Mesh, x):
+    """Place one host array fully-replicated on the mesh. Multi-process:
+    every process passes the SAME full array (epoch columns are built
+    from the full split on every host) and contributes its addressable
+    replicas via `make_array_from_process_local_data`."""
+    s = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(x, s)
+    return jax.make_array_from_process_local_data(s, np.asarray(x))
+
+
+def host_local_value(x) -> np.ndarray:
+    """Host numpy value of a possibly non-fully-addressable REPLICATED
+    array (multi-process jit outputs): read the local replica —
+    `jax.device_get` refuses arrays with non-addressable shards."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return np.asarray(x.addressable_data(0))
+    return np.asarray(jax.device_get(x))
+
+
 def host_copy(tree):
     """Device pytree → host numpy, gathering non-addressable (cross-host
     sharded) arrays first. Used by checkpointing: the reference writes
@@ -153,6 +173,9 @@ def host_copy(tree):
 
     def gather(x):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if x.sharding.is_fully_replicated:
+                # every process holds full replicas — read the local one
+                return np.asarray(x.addressable_data(0))
             from jax.experimental import multihost_utils
 
             return np.asarray(multihost_utils.process_allgather(x, tiled=True))

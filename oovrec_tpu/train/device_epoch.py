@@ -84,12 +84,23 @@ class DeviceEpoch:
         self.iid_field = loader.iid_field
         self.neg_field = loader.neg_prefix + loader.iid_field
         self.n_real = len(split)
-        B = loader.local_step
+        # GLOBAL positives per step: every process holds the full split
+        # and executes the same whole-epoch SPMD program — the loader's
+        # per-process interleaving (host pipeline) does not apply here
+        B = loader.step
         n_steps = max(-(-self.n_real // B), 1)
         n_pad = n_steps * B
+
+        if trainer.mesh is not None:
+            from oovrec_tpu.parallel.mesh import put_replicated
+
+            place = lambda v: put_replicated(trainer.mesh, v)  # noqa: E731
+        else:
+            place = jnp.asarray
+
         w = np.zeros(n_pad, np.float32)
         w[: self.n_real] = 1.0
-        self.weights = jnp.asarray(w)
+        self.weights = place(w)
         self.n_items = split.item_num
         # sampling metadata (pairwise only); repeatable samplers
         # (sequential protocols, `RepeatableSampler` semantics) draw
@@ -97,7 +108,7 @@ class DeviceEpoch:
         self.repeatable = bool(getattr(loader.sampler, "repeatable", False))
         self.bitmap = None
         if self.mode in ("pairwise", "pointwise") and not self.repeatable:
-            self.bitmap = jnp.asarray(
+            self.bitmap = place(
                 build_used_bitmap(
                     loader.sampler.used_ids[loader.phase],
                     split.user_num, split.item_num,
@@ -111,7 +122,7 @@ class DeviceEpoch:
             elif v.dtype == np.float64:
                 v = v.astype(np.float32)
             tail = np.zeros((n_pad - self.n_real,) + v.shape[1:], v.dtype)
-            return jnp.asarray(np.concatenate([v, tail]))
+            return place(np.concatenate([v, tail]))
 
         # carry every split column (models read what they need — sequence
         # lists for the seq family, ids for two-tower; extras are dead
@@ -135,21 +146,11 @@ class DeviceEpoch:
                         t = t.astype(np.int32)
                     elif t.dtype == np.float64:
                         t = t.astype(np.float32)
-                    out[f] = jnp.asarray(t)
+                    out[f] = place(t)
                 return out or None
 
             self.user_feat = feat_dev(loader.user_feat, self.uid_field)
             self.item_feat = feat_dev(loader.item_feat, self.iid_field)
-        if trainer.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            rep = NamedSharding(trainer.mesh, P())
-            self.columns = {
-                k: jax.device_put(v, rep) for k, v in self.columns.items()
-            }
-            self.weights = jax.device_put(self.weights, rep)
-            if self.bitmap is not None:
-                self.bitmap = jax.device_put(self.bitmap, rep)
         self.B = B
         self.n_steps = n_steps
         self._fn = self._build(trainer, oov, frozen)
@@ -174,6 +175,37 @@ class DeviceEpoch:
             hash_fn = spec.hash_function
             nub = int(spec.n_user_buckets or 0)
             nib = int(spec.n_item_buckets or 0)
+        # DHE/fDHE under `dhe_on_device: true`: the epoch program ships no
+        # host-hashed columns — it attaches the uint32 id halves of the
+        # EFFECTIVE (prime-padded when OOV-flagged) id per batch and the
+        # model SipHashes them on device (ops/siphash_device.py;
+        # `dh_embedder.py:122-152` semantics, bit-exact per tests)
+        add_dhe = None
+        if trainer.dhe_hasher is not None:
+            pad64 = int(spec.prime_pad)
+            PAD_LO = jnp.uint32(pad64 & 0xFFFFFFFF)
+            PAD_HI = jnp.uint32(pad64 >> 32)
+
+            def add_dhe(batch, field, flagged: bool):
+                ids = batch.get(field)
+                if ids is None:
+                    return
+                u = ids.astype(jnp.uint32)
+                lo, hi = u, jnp.zeros_like(u)
+                if flagged:
+                    flags = batch.get(field + "_oov")
+                    if flags is not None:
+                        # 64-bit add emulated as uint32 (lo, hi) pairs —
+                        # prime_pad (112062759511) exceeds 32 bits
+                        plo = u + PAD_LO
+                        carry = (plo < PAD_LO).astype(jnp.uint32)
+                        phi = PAD_HI + carry
+                        f = flags > 0
+                        lo = jnp.where(f, plo, lo)
+                        hi = jnp.where(f, phi, hi)
+                batch[field + "_dhe_lo"] = lo
+                batch[field + "_dhe_hi"] = hi
+
         freeze_mask = None
         if frozen:
             from oovrec_tpu.train.trainer import _is_oov_param_path
@@ -389,17 +421,32 @@ class DeviceEpoch:
                     if item_feat:
                         for f, t in item_feat.items():
                             batch[f] = t[ids_i]
+                    if add_dhe is not None:
+                        add_dhe(batch, uidf, flagged=False)
+                        add_dhe(batch, iidf, flagged=False)
                     carry, loss = train_step(carry, batch, idx)
                     return carry, loss
                 if not oov:
                     batch = dict(bc, weight=bw)
                     batch[negf] = neg
+                    if add_dhe is not None:
+                        add_dhe(batch, uidf, flagged=False)
+                        add_dhe(batch, iidf, flagged=False)
+                        add_dhe(batch, negf, flagged=False)
                     carry, loss = train_step(carry, batch, idx)
                     return carry, loss
                 t_rng = jax.random.fold_in(oov_rng, idx)
                 extras = {k: v for k, v in bc.items()
                           if k not in (uidf, iidf)}
                 batch = dict(extras, **oov_transform(t_rng, bu, bi, neg, bw))
+                if add_dhe is not None:
+                    # after the OOV transform: hash the padded id when
+                    # flagged (host annotate_batch order,
+                    # `feat_dh_embedder.py:190-197`); the neg column
+                    # carries no OOV flag — raw id, like the host path
+                    add_dhe(batch, uidf, flagged=True)
+                    add_dhe(batch, iidf, flagged=True)
+                    add_dhe(batch, negf, flagged=False)
                 # Bernoulli batch keep (`trainer.py:1796` semantics)
                 kept = jax.random.uniform(
                     jax.random.fold_in(t_rng, 7)
@@ -440,12 +487,15 @@ def device_epoch_eligible(trainer, loader, config) -> bool:
         return False
     import jax as _jax
 
+    # multi-host (pod slice): every process holds the full split, so the
+    # whole-epoch program compiles SPMD across all hosts' devices — the
+    # fast path no longer degrades to the host pipeline on a pod. A mesh
+    # is required once process_count > 1 (cross-host collectives need
+    # committed shardings).
+    if _jax.process_count() > 1 and trainer.mesh is None:
+        return False
     mesh_ok = trainer.mesh is None or (
-        # single-process multi-device: the whole-epoch program compiles
-        # SPMD over the mesh; multi-host epochs keep the per-process
-        # host pipeline (each host owns an interleaved corpus slice)
-        _jax.process_count() == 1
-        and loader.local_step % trainer.mesh.shape["data"] == 0
+        loader.step % trainer.mesh.shape["data"] == 0
     )
     # `supports_device_epoch` on the model asserts its loss consumes only
     # split columns (+ sampled negatives in pairwise mode, + joined
@@ -466,12 +516,15 @@ def device_epoch_eligible(trainer, loader, config) -> bool:
         sampling_ok = True  # no negatives drawn (seq CE / plain losses)
     else:
         sampling_ok = False
+    # DHE/fDHE: eligible when hashing runs on device (`dhe_on_device`) —
+    # the epoch program attaches id halves itself; host-side hashing
+    # (memoized numpy SipHash) still forces the host pipeline
+    dhe_ok = trainer.dhe_hasher is None or trainer.dhe_hasher.on_device
     ok = (
         sampling_ok
         and isinstance(loader.transform, Equal)
-        and loader.process_count == 1
         and mesh_ok
-        and trainer.dhe_hasher is None
+        and dhe_ok
         and getattr(trainer.model, "supports_device_epoch", False)
     )
     if not ok:

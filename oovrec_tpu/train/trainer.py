@@ -157,21 +157,26 @@ class Trainer:
         from oovrec_tpu.parallel.train_step import opt_state_sharding
 
         threshold = int(self.config.get("row_shard_threshold") or 4096)
+        if jax.process_count() > 1:
+            # multi-host: init produced process-local committed arrays;
+            # round-trip through host numpy so device_put re-commits them
+            # as GLOBAL arrays under the pod-spanning shardings (every
+            # process holds identical values — same seed, same init)
+            def put(x, s):
+                return jax.device_put(np.asarray(x), s)
+        else:
+            put = jax.device_put
         params = self.variables["params"]
         self._p_shard = param_sharding(self.mesh, params, threshold)
-        params = jax.tree.map(jax.device_put, params, self._p_shard)
+        params = jax.tree.map(put, params, self._p_shard)
         extra = {k: v for k, v in self.variables.items() if k != "params"}
         if extra:
-            extra = jax.tree.map(
-                jax.device_put, extra, replicated(self.mesh, extra)
-            )
+            extra = jax.tree.map(put, extra, replicated(self.mesh, extra))
         self.variables = dict(extra, params=params)
         self._o_shard = opt_state_sharding(
             self.mesh, self.opt_state, self._p_shard
         )
-        self.opt_state = jax.tree.map(
-            jax.device_put, self.opt_state, self._o_shard
-        )
+        self.opt_state = jax.tree.map(put, self.opt_state, self._o_shard)
 
     def _place_batch(self, db):
         """Host batch → device ('data'-sharded when a mesh is active,
@@ -323,7 +328,11 @@ class Trainer:
         self.variables = dict(extra_vars, params=params)
         self.opt_state = opt_state
         if losses:
-            vals = np.asarray(jax.device_get(losses), dtype=np.float64)
+            from oovrec_tpu.parallel.mesh import host_local_value
+
+            vals = np.asarray(
+                [host_local_value(l) for l in losses], dtype=np.float64
+            )
             if np.isnan(vals).any():
                 raise ValueError("Training loss is nan")
             total_loss = float(vals.sum())
@@ -373,7 +382,9 @@ class Trainer:
             params, extra_vars, self.opt_state, estate, rng,
             self._global_step,
         )
-        vals = np.asarray(jax.device_get(losses), dtype=np.float64)
+        from oovrec_tpu.parallel.mesh import host_local_value
+
+        vals = np.asarray(host_local_value(losses), dtype=np.float64)
         if np.isnan(vals).any():
             raise ValueError("Training loss is nan")
         self.variables = dict(extra_vars, params=params)
@@ -598,9 +609,64 @@ class Trainer:
             return None
         if load_best_model:
             path = model_file or self.saved_model_file
-            if os.path.isfile(path):
+            if jax.process_count() > 1:
+                self._resume_best_multiprocess(path)
+            elif os.path.isfile(path):
                 self.resume_checkpoint(path, params_only=True)
         return self.eval_runner.evaluate(self.variables, eval_loader)
+
+    def _resume_best_multiprocess(self, path: str) -> None:
+        """Collective-consistent best-model reload on a pod: every rank
+        must make the SAME resume decision (device_put to pod-spanning
+        shardings synchronizes across processes — a rank that skips it
+        deadlocks the others). Ranks agree via allgather; when only some
+        hold the file (rank-0-only write to a non-shared checkpoint_dir),
+        the holder broadcasts the host state to everyone — the pod analog
+        of the reference's rank-0 save / all-rank load (`trainer.py:301`,
+        `:644`)."""
+        from jax.experimental import multihost_utils
+
+        from oovrec_tpu.parallel.mesh import host_copy
+
+        have = bool(os.path.isfile(path))
+        flags = np.asarray(
+            multihost_utils.process_allgather(np.array([have]))
+        ).reshape(-1)
+        if not flags.any():
+            return  # nobody has it — keep current state everywhere
+        if flags.all():
+            self.resume_checkpoint(path, params_only=True)
+            return
+        src = int(np.argmax(flags))
+        params_host = host_copy(self.variables["params"])
+        extra_host = host_copy(
+            {k: v for k, v in self.variables.items() if k != "params"}
+        )
+        if have:
+            with open(path, "rb") as f:
+                state = pickle.load(f)
+            params_host = serialization.from_bytes(
+                params_host, state["params"]
+            )
+            if state.get("extra_vars") and extra_host:
+                extra_host = serialization.from_bytes(
+                    extra_host, state["extra_vars"]
+                )
+        is_source = jax.process_index() == src
+        params_host = multihost_utils.broadcast_one_to_all(
+            params_host, is_source=is_source
+        )
+        if extra_host:
+            extra_host = multihost_utils.broadcast_one_to_all(
+                extra_host, is_source=is_source
+            )
+        self.variables = dict(
+            jax.tree.map(np.asarray, extra_host), params=jax.tree.map(
+                np.asarray, params_host
+            )
+        )
+        if self.mesh is not None:
+            self._place_state_on_mesh()
 
     # ------------------------------------------------------ checkpointing
 

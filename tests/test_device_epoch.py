@@ -408,3 +408,69 @@ def test_pointwise_device_epoch_widedeep(tmp_path):
         assert np.isfinite(float(d[k]))
     # same protocol, different RNG streams: loose quality band
     assert abs(h["rmse"] - d["rmse"]) < 0.3
+
+
+def test_dhe_device_epoch_engages(tmp_path):
+    """Round-3: `dhe_on_device: true` configs get device epochs — the
+    epoch program attaches uint32 id halves of the effective
+    (prime-padded when flagged) id and the model SipHashes on device
+    (`dh_embedder.py:122-152` semantics). Host-side hashing still forces
+    the host pipeline (memoized numpy SipHash can't live inside jit)."""
+    from tests.test_inductive import _ind_cfg
+
+    def dhe_cfg(on_device, **over):
+        return _ind_cfg(
+            checkpoint_dir=str(tmp_path),
+            inductive_embedder="dhe",
+            inductive_mapper=None,
+            add_oov_buckets=False,
+            epochs=2,
+            dhe_num_hashes=8,
+            dhe_layer_size=16,
+            hash_key_dir=str(tmp_path / "hash_keys"),
+            dhe_on_device=on_device,
+            device_epoch=True,
+            **over,
+        )
+
+    # host hashing: the gate must refuse
+    res_host = run(config_dict=dhe_cfg(False), saved=False)
+    assert not getattr(res_host["trainer"], "_device_epochs", None)
+
+    # on-device hashing: plain AND OOV sub-epochs compile on device
+    res = run(config_dict=dhe_cfg(True, oov_train_ratio=1.0), saved=True)
+    trainer = res["trainer"]
+    keys = set(getattr(trainer, "_device_epochs", {}) or {})
+    assert any(not k[1] for k in keys), "no plain device epoch compiled"
+    assert any(k[1] for k in keys), "no OOV device epoch compiled"
+    # the DHE tower trained during the device OOV epochs
+    params = trainer.variables["params"]
+    assert "user_oov_mlp" in params
+    for v in res["test_result"].values():
+        assert np.isfinite(float(v))
+    # and the inductive eval consumes the checkpoint end-to-end
+    from oovrec_tpu.cli.inductive_eval import perform_inductive_eval
+
+    results = perform_inductive_eval(
+        res["dataset"], res["trainer"].saved_model_file, config=res["config"]
+    )
+    assert "recall@3" in results["overall"]
+
+
+def test_device_epoch_dhe_padded_halves_bit_exact():
+    """The epoch program's uint32-pair (id + prime_pad) equals the host
+    split of the int64 sum for ids spanning the full vocab range."""
+    from oovrec_tpu.ops.siphash_device import split_ids
+
+    prime_pad = 112062759511
+    ids = np.array([0, 1, 7, 2**20, 2**31 - 1], np.int64)
+    # device formula (train/device_epoch.py add_dhe)
+    u = jnp.asarray(ids.astype(np.int32)).astype(jnp.uint32)
+    PAD_LO = jnp.uint32(prime_pad & 0xFFFFFFFF)
+    PAD_HI = jnp.uint32(prime_pad >> 32)
+    plo = u + PAD_LO
+    carry = (plo < PAD_LO).astype(jnp.uint32)
+    phi = PAD_HI + carry
+    lo_h, hi_h = split_ids(ids + prime_pad)
+    assert (np.asarray(plo, np.uint32) == lo_h.view(np.uint32)).all()
+    assert (np.asarray(phi, np.uint32) == hi_h.view(np.uint32)).all()
