@@ -72,6 +72,20 @@ class Trainer:
                 mu_dtype=self.config["optimizer_mu_dtype"],
             )
         )
+        if self.config["optimizer_skip_zero_grads"]:
+            # torch-faithful adam (per-param step counts, skip-on-zero):
+            # replaces the adam chain; wd/clip wrap it like before
+            from oovrec_tpu.train.optimizers import scale_by_torch_adam
+
+            txs = []
+            if self.weight_decay:
+                txs.append(optax.add_decayed_weights(self.weight_decay))
+            txs.append(scale_by_torch_adam(
+                mu_dtype=self.config["optimizer_mu_dtype"] and
+                jnp.dtype(self.config["optimizer_mu_dtype"])
+            ))
+            txs.append(optax.scale(-self.learning_rate))
+            self.tx = self._wrap_clip(optax.chain(*txs))
 
         # production multi-chip path: when a mesh is configured, params /
         # optimizer state / batches live on the ('data','model') mesh and
@@ -90,6 +104,7 @@ class Trainer:
         self.best_valid_score = None
         self.best_valid_result = None
         self.train_loss_dict: Dict[int, float] = {}
+        self.oov_loss_dict: Dict[int, float] = {}
 
         ckpt_dir = config.get("checkpoint_dir", "saved")
         os.makedirs(ckpt_dir, exist_ok=True)
@@ -111,6 +126,13 @@ class Trainer:
         from oovrec_tpu.utils.wandblogger import WandbLogger
 
         self.wandblogger = WandbLogger(config)
+        # real TB event files (`trainer.py:371-407` analog), lazy writer
+        from oovrec_tpu.utils.tensorboard import TensorboardLogger
+
+        self.tensorboard = TensorboardLogger(
+            config,
+            base_dir=config.get("tensorboard_dir") or "./log_tensorboard",
+        )
 
         # inductive regime
         self.train_oov = bool(config["train_oov"])
@@ -522,6 +544,8 @@ class Trainer:
                 )
                 if opt_snapshot is not None:
                     self.opt_state = opt_snapshot
+                if oov_loss is not None:
+                    self.oov_loss_dict[epoch_idx] = oov_loss
 
             self.logger.info(
                 "epoch %d training [time: %.2fs, train loss: %s%s]"
@@ -532,6 +556,9 @@ class Trainer:
                     f", oov loss: {oov_loss:.4f}" if oov_loss is not None else "",
                 )
             )
+            self.tensorboard.add_scalar("Loss/Train", train_loss, epoch_idx)
+            if oov_loss is not None:
+                self.tensorboard.add_scalar("Loss/OOV", oov_loss, epoch_idx)
 
             if self.eval_step <= 0 or valid_loader is None:
                 if saved:
@@ -579,6 +606,12 @@ class Trainer:
                 self.wandblogger.log_metrics(
                     dict(valid_result), head="valid"
                 )
+                self.tensorboard.add_scalar(
+                    "Valid_score", valid_score, epoch_idx
+                )
+                self.tensorboard.add_scalars(
+                    "Valid", dict(valid_result), epoch_idx
+                )
                 if stop_flag:
                     self.logger.info(
                         "Finished training, best eval result in epoch %d"
@@ -590,6 +623,8 @@ class Trainer:
 
             _jprof.stop_trace()
             self._profiling = False
+        self.tensorboard.add_hparams(self.best_valid_score)
+        self.tensorboard.close()
         return self.best_valid_score, self.best_valid_result
 
     def _log_metrics(self, metrics: dict, head: str = "train") -> None:

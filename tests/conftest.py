@@ -16,6 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+os.environ["OOVREC_DISABLE_TENSORBOARD"] = "1"  # no event files per test
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -2,6 +2,8 @@
 fixture, evaluate, checkpoint. The minimum end-to-end slice of SURVEY §7.2.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -160,3 +162,21 @@ def test_bpr_memorizes_tiny_dataset():
     loader = FullSortEvalBatcher(train_split, None, cfgo, phase="train")
     out = res["trainer"].eval_runner.evaluate(res["trainer"].variables, loader)
     assert out["hit@5"] > 0.5
+
+
+def test_tensorboard_event_files(tmp_path, monkeypatch):
+    """`log_tensorboard` writes REAL TB event files (round-3, reference
+    `trainer.py:371-407` + `utils.py:210`): scalars per epoch + hparams,
+    readable by anyone pointing TensorBoard at the directory."""
+    monkeypatch.delenv("OOVREC_DISABLE_TENSORBOARD", raising=False)
+    cfg = _cfg(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        tensorboard_dir=str(tmp_path / "tb"),
+    )
+    run(config_dict=cfg, saved=False)
+    import glob
+
+    events = glob.glob(str(tmp_path / "tb" / "*" / "events.out.tfevents.*"))
+    assert events, "no TB event files written"
+    # at least the per-epoch train-loss scalars landed
+    assert sum(os.path.getsize(e) for e in events) > 0

@@ -74,3 +74,33 @@ def test_distributed_single_host():
     assert info["process_count"] == 1
     r = map_reduce_metrics({"recall@10": 0.5}, 100)
     assert r["recall@10"] == 0.5
+
+
+def test_torch_adam_semantics_bit_parity():
+    """`scale_by_torch_adam` (round-3 lsh-gap ablation) reproduces torch
+    plain Adam exactly, INCLUDING skipped steps (torch: grad None →
+    param skipped, per-param step count frozen)."""
+    import numpy as np
+    import optax
+    import torch
+
+    import jax.numpy as jnp
+    from oovrec_tpu.train.optimizers import scale_by_torch_adam
+
+    tp = torch.nn.Parameter(torch.ones(4, 2))
+    opt = torch.optim.Adam([tp], lr=0.1)
+    tx = optax.chain(scale_by_torch_adam(), optax.scale(-0.1))
+    jp = {"a": jnp.ones((4, 2))}
+    st = tx.init(jp)
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        skip = i in (2, 4, 5)
+        g = np.zeros((4, 2)) if skip else rng.normal(size=(4, 2))
+        opt.zero_grad(set_to_none=True)
+        if not skip:
+            tp.grad = torch.tensor(g, dtype=torch.float32)
+            opt.step()
+        u, st = tx.update({"a": jnp.asarray(g, jnp.float32)}, st, jp)
+        jp = optax.apply_updates(jp, u)
+    diff = np.abs(np.asarray(jp["a"]) - tp.detach().numpy()).max()
+    assert diff < 1e-5, diff
