@@ -519,6 +519,8 @@ class NegSampleEvalBatcher:
         phase: str,
         neg_sample_args: dict,
         batch_size: Optional[int] = None,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.split = split
         self.sampler = sampler
@@ -558,6 +560,33 @@ class NegSampleEvalBatcher:
             np.sort(self.uid2items_num)[::-1][:step].sum()
         ) if len(self.uid2items_num) else 1
 
+        # per-process user sharding (DistributedSampler semantics): each
+        # process evaluates its interleaved user slice; pad dims come
+        # from the GLOBAL top sizes and batch counts stay uniform so the
+        # pod's SPMD eval batches keep identical shapes on every host
+        # (metrics reduce via map_reduce_metrics, `trainer.py:644-666`)
+        self.process_index, self.process_count = _process_info(
+            process_index, process_count
+        )
+        self.n_global_users = len(self.uid_list)
+        self.slot_offset = 0
+        if self.process_count > 1:
+            self.step = max(1, self.step // self.process_count)
+            sizes_desc = np.sort(self.uid2items_num * self.times)[::-1]
+            self.max_rows = int(sizes_desc[: self.step].sum()) or 1
+            # GLOBAL slot axis: each process scatters its users into its
+            # own [offset, offset+step) slot range of the shared
+            # (max_users, n_items) score matrix — slots must never merge
+            # across hosts in the SPMD scatter
+            self.max_users = self.step * self.process_count
+            self.slot_offset = self.process_index * self.step
+            self.max_pos = int(
+                np.sort(self.uid2items_num)[::-1][: self.step].sum()
+            ) or 1
+            sel = slice(self.process_index, None, self.process_count)
+            self.uid_list = self.uid_list[sel]
+            self._slices = self._slices[sel]
+
         self.user_feat = (
             split.parent.get_user_feature()
             if split.parent.user_feat is not None
@@ -570,33 +599,64 @@ class NegSampleEvalBatcher:
         )
 
     def __len__(self) -> int:
-        u = len(self.uid_list)
-        return (u + self.step - 1) // self.step
+        max_local = -(-self.n_global_users // self.process_count)
+        return (max_local + self.step - 1) // self.step
+
+    def _empty_batch(self) -> Batch:
+        """All-pad batch (weight 0 everywhere): tail batches of processes
+        whose user shard ran out — batch COUNTS must stay uniform across
+        the pod or the SPMD collectives desync."""
+        inter = self.split.inter
+        batch: Batch = {
+            k: np.zeros((self.max_rows,) + v.shape[1:], v.dtype)
+            for k, v in inter.items()
+        }
+        batch[self.label_field] = np.zeros(self.max_rows, np.float32)
+        batch["row_user"] = np.zeros(self.max_rows, np.int64)
+        batch["weight"] = np.zeros(self.max_rows, np.float32)
+        _join_features(
+            batch, batch[self.iid_field], self.item_feat, self.iid_field
+        )
+        _join_features(
+            batch, batch[self.uid_field], self.user_feat, self.uid_field
+        )
+        batch["positive_u"] = np.zeros(self.max_pos, np.int64)
+        batch["positive_i"] = np.zeros(self.max_pos, np.int64)
+        batch["positive_weight"] = np.zeros(self.max_pos, np.float32)
+        batch["n_users"] = np.array(0, dtype=np.int64)
+        batch["slot_users"] = np.zeros(self.step, np.int64)
+        return batch
 
     def __iter__(self) -> Iterator[Batch]:
         inter = self.split.inter
-        # per-pass candidate stream, independent of the sampler's shared
-        # training stream: every eval pass (and a checkpoint reload) draws
-        # the IDENTICAL uniN candidate sets regardless of how many
-        # training batches were sampled before it
-        eval_rng = host_rng(
-            int(self.config["seed"] or 0), f"eval_sampling_{self.phase}"
-        )
-        for bstart in range(0, len(self.uid_list), self.step):
+        # candidate streams are PER-USER seeded, independent of the
+        # sampler's shared training stream AND of iteration order: every
+        # eval pass, a checkpoint reload, and any per-process user
+        # sharding draw the IDENTICAL uniN candidate set for each user
+        seed0 = int(self.config["seed"] or 0)
+        for bidx in range(len(self)):
+            bstart = bidx * self.step
             users = self.uid_list[bstart : bstart + self.step]
+            if len(users) == 0:
+                yield self._empty_batch()
+                continue
             cols: Dict[str, List[np.ndarray]] = {k: [] for k in inter.keys()}
             labels: List[np.ndarray] = []
             row_user: List[np.ndarray] = []
             positive_u: List[np.ndarray] = []
             positive_i: List[np.ndarray] = []
-            for slot, u in enumerate(users):
-                s, e = self._slices[bstart + slot]
+            for local_slot, u in enumerate(users):
+                slot = local_slot + self.slot_offset  # global slot id
+                s, e = self._slices[bstart + local_slot]
                 ridx = self._order[s:e]
                 n_pos = e - s
                 pos_items = inter[self.iid_field][ridx]
+                u_rng = host_rng(
+                    seed0, f"eval_sampling_{self.phase}_{int(u)}"
+                )
                 neg = self.sampler.sample_negatives(
                     self.phase, inter[self.uid_field][ridx], self.sample_num,
-                    rng=eval_rng,
+                    rng=u_rng,
                 ).flatten(order="F")
                 for k in inter.keys():
                     v = inter[k][ridx]

@@ -440,12 +440,20 @@ class EvalRunner:
                     topk_idx, pos_idx, pos_len = neg_step(
                         variables, db, estate
                     )
+                    # multi-process: slots span the pod
+                    # ([offset, offset+local_users) is this process's
+                    # range — dataloader.py slot_offset); each process
+                    # collects only its own users, map-reduced at the end
+                    off = getattr(eval_loader, "slot_offset", 0)
+                    idx = np.arange(eval_loader.max_users)
                     user_w = (
-                        np.arange(eval_loader.max_users) < int(batch["n_users"])
+                        (idx >= off) & (idx < off + int(batch["n_users"]))
                     ).astype(np.float32)
                     n_local += float(np.sum(user_w))
+                    from oovrec_tpu.parallel.mesh import host_copy
+
                     collector.collect_topk(
-                        self._host(pos_idx), self._host(pos_len), user_w
+                        host_copy(pos_idx), host_copy(pos_len), user_w
                     )
             else:  # VALUE metrics: pooled scores + labels
                 if self._predict is None:

@@ -105,20 +105,25 @@ def scenario_train(outdir: str, pid: int) -> dict:
     }
 
 
-def scenario_eval(outdir: str, pid: int) -> dict:
+def scenario_eval(outdir: str, pid: int, mode: str = "full") -> dict:
     """Sharded evaluation of a FIXED checkpoint (written beforehand by
     the parent's single-process run): per-process user shards +
-    map_reduce_metrics must reproduce the single-process metrics."""
+    map_reduce_metrics must reproduce the single-process metrics.
+    `mode='uni3'` exercises the sharded NegSampleEvalBatcher (the paper
+    protocol's uni250 path) instead of full-sort."""
     from oovrec_tpu.cli.quick_start import load_data_and_model
 
     ckpt = os.path.join(outdir, "shared.ckpt")
-    loaded = load_data_and_model(
-        ckpt,
-        config_overrides={
-            "mesh": {"data": 8},
-            "checkpoint_dir": os.path.join(outdir, f"ckpt_{pid}"),
-        },
-    )
+    over = {
+        "mesh": {"data": 8},
+        "checkpoint_dir": os.path.join(outdir, f"ckpt_{pid}"),
+    }
+    if mode != "full":
+        over["eval_args"] = {
+            "split": {"RS": [0.8, 0.1, 0.1]}, "order": "TO",
+            "group_by": "user", "mode": mode,
+        }
+    loaded = load_data_and_model(ckpt, config_overrides=over)
     result = loaded.trainer.evaluate(
         loaded.test_loader, load_best_model=False
     )
@@ -153,11 +158,14 @@ def main() -> None:
     assert info["global_device_count"] == 4 * nprocs, info
 
     out = {"info": info}
-    out.update(
-        {"loader": scenario_loader,
-         "train": scenario_train,
-         "eval": scenario_eval}[scenario](outdir, pid)
-    )
+    if scenario == "eval_uni":
+        out.update(scenario_eval(outdir, pid, mode="uni3"))
+    else:
+        out.update(
+            {"loader": scenario_loader,
+             "train": scenario_train,
+             "eval": scenario_eval}[scenario](outdir, pid)
+        )
     with open(os.path.join(outdir, f"worker_{scenario}_{pid}.json"), "w") as f:
         json.dump(out, f)
 

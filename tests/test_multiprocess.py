@@ -164,3 +164,20 @@ def test_two_process_eval_map_reduce(tmp_path):
         assert r0["test_result"][k] == pytest.approx(
             r1["test_result"][k], abs=1e-12
         ), k
+
+    # uniN (the paper protocol's eval mode): sharded NegSampleEvalBatcher
+    # + map-reduce must also reproduce the single-process uni metrics
+    uni_loaded = load_data_and_model(shared, config_overrides={
+        "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "TO",
+                      "group_by": "user", "mode": "uni3"},
+    })
+    uni_base = uni_loaded.trainer.evaluate(
+        uni_loaded.test_loader, load_best_model=False
+    )
+    u0, u1 = _run_workers("eval_uni", str(tmp_path))
+    assert (
+        u0["eval_users_local"] + u1["eval_users_local"]
+        == len(uni_loaded.test_loader.uid_list)
+    )
+    for k, v in uni_base.items():
+        assert u0["test_result"][k] == pytest.approx(float(v), abs=1e-6), k
