@@ -51,6 +51,12 @@ STEPS = 30
 SIG = f"bpr-{N_USERS}-{N_ITEMS}-{EMB}-{BATCH}-{N_BUCKETS}-donated-bf16mu"
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baselines.json")
+# last successful non-CPU run (full output JSON + wall-clock timestamp):
+# when the device probe fails, the error artifact embeds this record as
+# `last_known_good` so a flaky tunnel degrades the evidence to "stale,
+# honestly labeled" instead of erasing it (round-2 weak #1)
+LAST_GOOD_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_last_good.json")
 
 # chip rooflines: device_kind substring → (bf16 MXU peak FLOP/s, HBM B/s).
 # Sources: public TPU spec tables (v4: 275 TF / 1228 GB/s; v5e: 197 TF /
@@ -437,14 +443,18 @@ def main():
         print(train_eps)
         return
     if not _device_reachable():
-        print(json.dumps({
+        out = {
             "metric": "bpr_oov_train_throughput",
             "value": None,
             "unit": "examples/s",
             "vs_baseline": None,
             "error": "default device unreachable (tunnel down?) — "
                      "probe matmul timed out 3× over ~6 min",
-        }))
+        }
+        if os.path.isfile(LAST_GOOD_FILE):
+            with open(LAST_GOOD_FILE) as f:
+                out["last_known_good"] = json.load(f)
+        print(json.dumps(out))
         return
     if "--epoch-only" in sys.argv:  # debugging aid
         train_eps, eval_ups = measure_epoch()
@@ -516,6 +526,19 @@ def main():
 
     if errors:
         out["errors"] = errors
+    try:
+        import jax
+
+        if out["value"] and jax.devices()[0].platform != "cpu":
+            rec = dict(out)
+            rec["recorded_at"] = time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            )
+            with open(LAST_GOOD_FILE + ".tmp", "w") as f:
+                json.dump(rec, f, indent=1)
+            os.replace(LAST_GOOD_FILE + ".tmp", LAST_GOOD_FILE)
+    except Exception:  # noqa: BLE001 — recording must never break the bench
+        pass
     print(json.dumps(out))
 
 
