@@ -38,13 +38,27 @@ def generate(out: str, name: str, n_users: int, n_items: int, n_inters: int,
     i_cat = np.argmax(I[:, 1:4], axis=1)
 
     def sample_inters(users, items_pool, n, t0):
+        # exact softmax sampling, grouped by user: one CDF per distinct
+        # user row (inverse-CDF draw), blocked so the (block × items)
+        # logit slab stays memory-bounded at any n
         uu = rng.integers(0, len(users), n)
-        logits = U[users[uu]] @ I[items_pool].T
-        probs = np.exp(logits - logits.max(axis=1, keepdims=True))
-        probs /= probs.sum(axis=1, keepdims=True)
-        ii = np.array([
-            rng.choice(len(items_pool), p=probs[k]) for k in range(n)
-        ])
+        ii = np.empty(n, np.int64)
+        order = np.argsort(uu, kind="stable")
+        uu_sorted = uu[order]
+        uniq, starts = np.unique(uu_sorted, return_index=True)
+        ends = np.append(starts[1:], n)
+        Ip = I[items_pool].astype(np.float32).T
+        block = max(1, (1 << 26) // max(1, len(items_pool)))
+        for bs in range(0, len(uniq), block):
+            ub = uniq[bs:bs + len(uniq[bs:bs + block])]
+            logits = U[users[ub]].astype(np.float32) @ Ip
+            logits -= logits.max(axis=1, keepdims=True)
+            cdf = np.cumsum(np.exp(logits), axis=1)
+            for k in range(len(ub)):
+                s, e = starts[bs + k], ends[bs + k]
+                r = rng.random(e - s).astype(np.float32) * cdf[k, -1]
+                ii[order[s:e]] = np.searchsorted(cdf[k], r, side="right")
+        np.clip(ii, 0, len(items_pool) - 1, out=ii)
         return users[uu], items_pool[ii], t0 + np.arange(n)
 
     old_users = np.arange(n_old_u)
