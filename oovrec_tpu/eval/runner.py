@@ -49,6 +49,11 @@ class EvalRunner:
         self._neg_steps = {}
         self._predict = None
         self._masked_scores = None
+        # scanned-eval sweep programs, built once per runner so repeated
+        # eval passes (one per epoch) reuse the jit cache instead of
+        # recompiling a fresh local closure every call
+        self._fullsort_sweep = None
+        self._neg_sweeps = {}
         self.train_split = None  # set by the trainer for popularity metrics
         # production multi-chip eval: batches 'data'-sharded over the mesh
         # (user axis for full-sort), per-process metric map-reduce — the
@@ -171,26 +176,11 @@ class EvalRunner:
                        "data.label"}
         if collector.need & extra_needs:
             return False
-        # the scanned pass stacks every batch in device memory; bound it
-        # (estimated elements across all stacked arrays, from loader
-        # metadata — iterating here would consume the sampler RNG) so
-        # giant eval sets fall back to per-batch dispatch
-        max_el = float(self.config.get("device_eval_max_elements")
-                       or 5e8)
-        if type(eval_loader) is FullSortEvalBatcher:
-            per_batch = eval_loader.users_per_batch * (
-                eval_loader.max_pos + eval_loader.max_hist + 8
-            )
-        elif type(eval_loader) is NegSampleEvalBatcher:
-            per_batch = (
-                eval_loader.max_rows * (len(eval_loader.split.inter) + 3)
-                + eval_loader.max_pos * 2
-            )
-        else:  # SeqFullSortEvalBatcher
-            L = eval_loader.split.inter[eval_loader.list_field].shape[1]
-            per_batch = eval_loader.rows_per_batch * (2 * L + 8)
-        if per_batch * len(eval_loader) > max_el:
-            return False
+        # device-memory safety is handled INSIDE the scanned passes: they
+        # chunk the stacked batches to `device_eval_max_elements` elements
+        # per program call, so giant eval sets stay on the device path
+        # (the old all-or-nothing bound silently degraded a 10M-corpus
+        # uni250 test eval to ~2300 per-batch tunnel dispatches ≈ 1 h)
         if flag == "auto":
             return n_rows >= 1024
         return bool(flag)
@@ -202,38 +192,78 @@ class EvalRunner:
             return self._evaluate_scanned_neg(
                 variables, eval_loader, collector, estate
             )
-        batches = list(eval_loader)
-        n_steps = len(batches)
-        stacked = {
-            k: jnp.asarray(np.stack([to_device_batch(b)[k] for b in batches]))
-            for k in batches[0]
-        }
-        model, maxk = self.model, self.maxk
-
-        @jax.jit
-        def sweep(variables, sb, estate):
-            def body(_, batch):
-                scores = model.apply(
-                    variables, batch, estate, method=model.full_sort_scores
+        if (type(eval_loader) is FullSortEvalBatcher
+                and eval_loader.process_count == 1):
+            # `eval_batch_size` (paper protocol: 1e5) is the reference's
+            # GPU-memory knob — at large corpora it degrades to a few
+            # users per block and the scan spends its time on per-step
+            # top-k overhead. Block width does not affect metrics (users
+            # are independent), so the device pass re-blocks to a
+            # chip-sized score slab (~`device_eval_score_elements`
+            # elements per step, default 2^24 ≈ 64 MB fp32).
+            block = int(self.config.get("device_eval_score_elements")
+                        or (1 << 24))
+            want = max(1, block // max(1, eval_loader.item_num))
+            if want > eval_loader.users_per_batch:
+                eval_loader.users_per_batch = min(
+                    want, max(1, len(eval_loader.uid_list))
                 )
-                _, pos_idx, pos_len = mask_and_topk(
-                    scores,
-                    batch["hist_items"], batch["hist_len"],
-                    batch["pos_items"], batch["pos_len"],
-                    maxk,
-                )
-                return None, (pos_idx, pos_len)
+        batches = [to_device_batch(b) for b in eval_loader]
+        if self._fullsort_sweep is None:
+            model, maxk = self.model, self.maxk
 
-            _, (pos_idx, pos_len) = jax.lax.scan(body, None, sb)
-            return pos_idx, pos_len
+            @jax.jit
+            def sweep(variables, sb, estate):
+                def body(_, batch):
+                    scores = model.apply(
+                        variables, batch, estate,
+                        method=model.full_sort_scores
+                    )
+                    _, pos_idx, pos_len = mask_and_topk(
+                        scores,
+                        batch["hist_items"], batch["hist_len"],
+                        batch["pos_items"], batch["pos_len"],
+                        maxk,
+                    )
+                    return None, (pos_idx, pos_len)
 
-        pos_idx, pos_len = sweep(variables, stacked, estate)
-        U = pos_idx.shape[1]
-        pos_idx = np.asarray(pos_idx).reshape(n_steps * U, -1)
-        pos_len = np.asarray(pos_len).reshape(n_steps * U)
-        weight = np.concatenate([np.asarray(b["weight"]) for b in batches])
-        collector.collect_topk(pos_idx, pos_len, weight)
-        return float(weight.sum())
+                _, (pos_idx, pos_len) = jax.lax.scan(body, None, sb)
+                return pos_idx, pos_len
+
+            self._fullsort_sweep = sweep
+
+        n = 0.0
+        for stacked, chunk in self._stack_chunks(batches):
+            pos_idx, pos_len = self._fullsort_sweep(
+                variables, stacked, estate)
+            steps, U = pos_idx.shape[:2]
+            weight = np.concatenate(
+                [np.asarray(b["weight"]) for b in chunk])
+            collector.collect_topk(
+                np.asarray(pos_idx).reshape(steps * U, -1),
+                np.asarray(pos_len).reshape(steps * U),
+                weight,
+            )
+            n += float(weight.sum())
+        return n
+
+    def _stack_chunks(self, batches):
+        """Yield (stacked, chunk_batches): batches stacked on a leading
+        scan axis in chunks bounded by `device_eval_max_elements` device
+        elements per program call. Equal-size chunks reuse one compiled
+        sweep; at most one remainder shape compiles extra."""
+        per_batch = sum(
+            int(np.asarray(v).size) for v in batches[0].values()
+        )
+        max_el = float(self.config.get("device_eval_max_elements") or 5e8)
+        chunk = max(1, min(len(batches), int(max_el // max(1, per_batch))))
+        for s in range(0, len(batches), chunk):
+            cb = batches[s:s + chunk]
+            stacked = {
+                k: jnp.asarray(np.stack([b[k] for b in cb]))
+                for k in cb[0]
+            }
+            yield stacked, cb
 
     def _evaluate_scanned_neg(self, variables, eval_loader, collector,
                               estate):
@@ -244,47 +274,51 @@ class EvalRunner:
         loader (fresh draws per eval pass)."""
         n_items = eval_loader.item_num
         n_users = eval_loader.max_users
-        batches = list(eval_loader)
-        n_steps = len(batches)
-        stacked = {
-            k: jnp.asarray(np.stack([to_device_batch(b)[k] for b in batches]))
-            for k in batches[0]
-        }
-        model, maxk = self.model, self.maxk
+        key = (n_items, n_users)
+        if key not in self._neg_sweeps:
+            model, maxk = self.model, self.maxk
 
-        @jax.jit
-        def sweep(variables, sb, estate):
-            def body(_, batch):
-                scores = model.apply(
-                    variables, batch, estate, method=model.predict
-                )
-                mat = scatter_scores(
-                    batch["row_user"], batch[model.iid_field], scores,
-                    batch["weight"], n_users, n_items,
-                )
-                mat = mat.at[:, 0].set(-jnp.inf)
-                pos = positives_matrix(
-                    batch["positive_u"], batch["positive_i"],
-                    batch["positive_weight"], n_users, n_items,
-                )
-                from oovrec_tpu.eval.full_sort import matrix_topk
+            @jax.jit
+            def sweep(variables, sb, estate):
+                def body(_, batch):
+                    scores = model.apply(
+                        variables, batch, estate, method=model.predict
+                    )
+                    mat = scatter_scores(
+                        batch["row_user"], batch[model.iid_field], scores,
+                        batch["weight"], n_users, n_items,
+                    )
+                    mat = mat.at[:, 0].set(-jnp.inf)
+                    pos = positives_matrix(
+                        batch["positive_u"], batch["positive_i"],
+                        batch["positive_weight"], n_users, n_items,
+                    )
+                    from oovrec_tpu.eval.full_sort import matrix_topk
 
-                _, pos_idx, pos_len = matrix_topk(mat, pos, maxk)
-                user_w = (
-                    jnp.arange(n_users) < batch["n_users"]
-                ).astype(jnp.float32)
-                return None, (pos_idx, pos_len, user_w)
+                    _, pos_idx, pos_len = matrix_topk(mat, pos, maxk)
+                    user_w = (
+                        jnp.arange(n_users) < batch["n_users"]
+                    ).astype(jnp.float32)
+                    return None, (pos_idx, pos_len, user_w)
 
-            _, out = jax.lax.scan(body, None, sb)
-            return out
+                _, out = jax.lax.scan(body, None, sb)
+                return out
 
-        pos_idx, pos_len, user_w = sweep(variables, stacked, estate)
-        U = pos_idx.shape[1]
-        pos_idx = np.asarray(pos_idx).reshape(n_steps * U, -1)
-        pos_len = np.asarray(pos_len).reshape(n_steps * U)
-        weight = np.asarray(user_w).reshape(n_steps * U)
-        collector.collect_topk(pos_idx, pos_len, weight)
-        return float(weight.sum())
+            self._neg_sweeps[key] = sweep
+
+        batches = [to_device_batch(b) for b in eval_loader]
+        n = 0.0
+        for stacked, _chunk in self._stack_chunks(batches):
+            pos_idx, pos_len, user_w = self._neg_sweeps[key](
+                variables, stacked, estate)
+            steps, U = pos_idx.shape[:2]
+            collector.collect_topk(
+                np.asarray(pos_idx).reshape(steps * U, -1),
+                np.asarray(pos_len).reshape(steps * U),
+                np.asarray(user_w).reshape(steps * U),
+            )
+            n += float(np.asarray(user_w).sum())
+        return n
 
     # ------------------------------------------------------- neg-sample
 

@@ -153,6 +153,37 @@ def test_scanned_eval_matches_per_batch(tmp_path):
         assert abs(h[k] - d[k]) < 1e-9, (k, h[k], d[k])
 
 
+def test_scanned_eval_reblocks_tiny_eval_batch(tmp_path):
+    """A tiny eval_batch_size degrades full-sort blocks to ~1 user (the
+    reference's GPU-memory knob); the scanned device pass re-blocks to a
+    chip-sized score slab (device_eval_score_elements) WITHOUT changing
+    metrics — block width is metric-invariant."""
+    base = _cfg(checkpoint_dir=str(tmp_path), epochs=1,
+                eval_batch_size=1)  # 1 user per block before re-blocking
+    host = run(config_dict={**base, "device_eval": False}, saved=False)
+    dev = run(config_dict={**base, "device_eval": True}, saved=False)
+    h, d = host["test_result"], dev["test_result"]
+    assert set(h) == set(d)
+    for k in h:
+        assert abs(h[k] - d[k]) < 1e-9, (k, h[k], d[k])
+
+
+def test_scanned_eval_chunks_when_over_element_bound(tmp_path):
+    """A tiny `device_eval_max_elements` forces the scanned pass to split
+    the stacked batches into many chunks (instead of silently degrading
+    to per-batch dispatch, which cost ~1 h at the 10M-corpus scale);
+    chunking is metric-invariant."""
+    base = _cfg(checkpoint_dir=str(tmp_path), epochs=1,
+                eval_batch_size=64)
+    host = run(config_dict={**base, "device_eval": False}, saved=False)
+    dev = run(config_dict={**base, "device_eval": True,
+                           "device_eval_max_elements": 500}, saved=False)
+    h, d = host["test_result"], dev["test_result"]
+    assert set(h) == set(d)
+    for k in h:
+        assert abs(h[k] - d[k]) < 1e-9, (k, h[k], d[k])
+
+
 def test_scanned_uni_eval_matches_per_batch(tmp_path):
     """Scanned uni-N sampled-negative eval == per-batch path. Negative
     draws are host-side in both cases; same seed → same candidate sets,
