@@ -5,8 +5,12 @@ Prints ONE JSON line:
    "end_to_end_examples_per_s": N, "eval_users_per_s": N,
    "bpr": {...roofline...}, "xdeepfm": {...roofline...}}
 
-`value` is the jitted-step throughput on a resident device batch (kernel
-ceiling). `end_to_end_examples_per_s` is the PIPELINE-INCLUDED number: an
+`value` is the train-step throughput on resident device batches, measured
+as a lax.scan chain of fresh-batch steps inside ONE compiled program —
+the same structure as the production device-resident epoch
+(train/device_epoch.py) — so it is the kernel ceiling, not
+per-dispatch (tunnel) latency. `end_to_end_examples_per_s` is the
+PIPELINE-INCLUDED number: an
 ml-1m-scale corpus (6040 users × 3706 items × 1M interactions) driven
 through the production TrainBatcher (host negative sampling + feature
 join + padding) into the same jitted step — the honest analog of the
@@ -17,12 +21,18 @@ corpus. `vs_baseline` is the step speedup over a CPU run of the identical
 step (target ≥5× CPU); the CPU number is measured in a subprocess (fresh
 backend) and cached in bench_baselines.json keyed by workload signature.
 
-Roofline blocks (`bpr`, `xdeepfm`): per-step FLOPs + HBM bytes from XLA's
+Roofline blocks (`bpr`, `xdeepfm`): per-step FLOPs + bytes from XLA's
 own cost analysis of the compiled train step (utils/flops.py approach),
 divided by measured step time and the chip's peak → `mfu` (vs bf16 MXU
-peak) and `hbm_util` (vs peak HBM bandwidth), plus which roof the
-workload sits under (`bound`). BPR is a lookup/elementwise workload —
-bandwidth-bound; xDeepFM's CIN is matmul-heavy — compute-leaning.
+peak) and an HBM-utilization BRACKET: `hbm_util_floor` from the
+program's own I/O bytes (params + opt state read+write, batch read — a
+hard lower bound on traffic) and `hbm_util_upper_est` from XLA's
+"bytes accessed" (counts every HLO's operands incl. fused intermediates,
+so it can exceed 1 — flagged when it does). `speed_of_light_ms` /
+`sol_frac` state how close the measured step is to the hardware limit
+max(flops/peak_MXU, io_bytes/peak_HBM) for this exact program, and
+`bound` names which roof it sits under. BPR is a lookup/elementwise
+workload — bandwidth-bound; xDeepFM's CIN is matmul-heavy.
 
 Robustness: the device probe retries over a bounded window (dead tunnel
 ≠ empty artifact); every metric is computed independently and whatever
@@ -48,7 +58,7 @@ BATCH = 8192
 N_BUCKETS = 1024
 WARMUP = 3
 STEPS = 30
-SIG = f"bpr-{N_USERS}-{N_ITEMS}-{EMB}-{BATCH}-{N_BUCKETS}-donated-bf16mu"
+SIG = f"bpr-{N_USERS}-{N_ITEMS}-{EMB}-{BATCH}-{N_BUCKETS}-donated-bf16mu-scan"
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baselines.json")
 # last successful non-CPU run (full output JSON + wall-clock timestamp):
@@ -97,21 +107,43 @@ def _step_cost(jitted, *args):
             float(cost.get("bytes accessed", float("nan"))))
 
 
-def _roofline(flops, bytes_, dt_step):
+def _io_bytes(params, opt_state, batch) -> float:
+    """Hard LOWER bound on per-step HBM traffic: the program's own
+    inputs/outputs. Donated params/opt_state are read once and written
+    once (2× their size); the batch is read once. True traffic lies in
+    [io_bytes, bytes_accessed] — XLA's cost-analysis "bytes accessed"
+    counts every HLO's operands (full tables per gather, fused
+    intermediates), so it can exceed what actually crosses HBM."""
+    import jax
+
+    size = lambda t: sum(x.nbytes for x in jax.tree.leaves(t))  # noqa: E731
+    return 2.0 * (size(params) + size(opt_state)) + size(batch)
+
+
+def _roofline(flops, bytes_, dt_step, io_bytes=None):
     peak_f, peak_b, kind = chip_peaks()
     out = {
         "step_time_ms": round(dt_step * 1e3, 3),
         "flops_per_step": flops,
-        "bytes_per_step": bytes_,
+        "bytes_accessed_per_step": bytes_,
         "achieved_tflops": round(flops / dt_step / 1e12, 3),
-        "achieved_gbps": round(bytes_ / dt_step / 1e9, 1),
         "device_kind": kind,
     }
+    if io_bytes:
+        out["io_bytes_per_step"] = io_bytes
     if peak_f and peak_b and flops == flops:
         mfu = flops / dt_step / peak_f
-        hbm = bytes_ / dt_step / peak_b
+        hbm_est = bytes_ / dt_step / peak_b
         out["mfu"] = round(mfu, 4)
-        out["hbm_util"] = round(hbm, 4)
+        # bytes-accessed estimate of HBM utilization: an UPPER estimate
+        # (>1 means the fused program touched less HBM than the per-HLO
+        # byte count — intermediates stayed on-chip)
+        out["hbm_util_upper_est"] = round(hbm_est, 4)
+        if hbm_est > 1.0:
+            out["hbm_util_note"] = (
+                "bytes-accessed exceeds peak-HBM×time: XLA cost analysis "
+                "counts fused intermediates; true utilization is below 1"
+            )
         # which roof the workload sits under: compare the arithmetic
         # intensity to the chip's ridge point (peak_f/peak_b flops/byte)
         intensity = flops / max(bytes_, 1.0)
@@ -119,7 +151,14 @@ def _roofline(flops, bytes_, dt_step):
         out["ridge_intensity"] = round(peak_f / peak_b, 1)
         out["bound"] = ("bandwidth" if intensity < peak_f / peak_b
                         else "compute")
-        out["roof_util"] = round(max(mfu, hbm), 4)
+        if io_bytes:
+            # speed of light for this exact program: the slower of the
+            # compute roof and the unavoidable-I/O roof. sol_frac is the
+            # honest "how far from the hardware limit" number.
+            sol = max(flops / peak_f, io_bytes / peak_b)
+            out["hbm_util_floor"] = round(io_bytes / dt_step / peak_b, 4)
+            out["speed_of_light_ms"] = round(sol * 1e3, 3)
+            out["sol_frac"] = round(sol / dt_step, 4)
     return out
 
 
@@ -138,6 +177,8 @@ def measure(platform: str | None = None, steps: int = STEPS,
     from oovrec_tpu.train.optimizers import build_optimizer
     import optax
 
+    from jax import lax
+
     spec = InductiveSpec(
         mapper="random", add_oov_buckets=True,
         n_user_buckets=N_BUCKETS, n_item_buckets=N_BUCKETS,
@@ -145,17 +186,24 @@ def measure(platform: str | None = None, steps: int = STEPS,
     )
     model = BPR(n_users=N_USERS, n_items=N_ITEMS, embedding_size=EMB, spec=spec)
     rng = np.random.default_rng(0)
-    batch = {
-        "user_id": rng.integers(0, N_USERS, BATCH).astype(np.int32),
-        "item_id": rng.integers(1, N_ITEMS, BATCH).astype(np.int32),
-        "neg_item_id": rng.integers(1, N_ITEMS, BATCH).astype(np.int32),
-        "weight": np.ones(BATCH, np.float32),
+    # fresh batch per step, stacked on a leading scan axis — the steps are
+    # chained through one compiled program (lax.scan), exactly like the
+    # production device-resident epoch (train/device_epoch.py), so the
+    # number is the kernel ceiling, not tunnel-dispatch latency
+    K = steps
+    xs = {
+        "user_id": rng.integers(0, N_USERS, (K, BATCH)).astype(np.int32),
+        "item_id": rng.integers(1, N_ITEMS, (K, BATCH)).astype(np.int32),
+        "neg_item_id": rng.integers(1, N_ITEMS, (K, BATCH)).astype(np.int32),
+        "weight": np.ones((K, BATCH), np.float32),
     }
     for f in ("user_id", "item_id", "neg_item_id"):
-        batch[f + "_oov"] = (rng.random(BATCH) < 0.1).astype(np.int32)
-        batch[f + "_bucket"] = rng.integers(0, N_BUCKETS, BATCH).astype(np.int32)
+        xs[f + "_oov"] = (rng.random((K, BATCH)) < 0.1).astype(np.int32)
+        xs[f + "_bucket"] = rng.integers(
+            0, N_BUCKETS, (K, BATCH)).astype(np.int32)
+    batch0 = {k: v[0] for k, v in xs.items()}
 
-    variables = model.init(jax.random.key(0), batch, {},
+    variables = model.init(jax.random.key(0), batch0, {},
                            method=model.calculate_loss)
     tx = build_optimizer("adam", 1e-3, mu_dtype="bfloat16")
     params = variables["params"]
@@ -164,35 +212,56 @@ def measure(platform: str | None = None, steps: int = STEPS,
     # donate params/opt_state: the updated tables reuse the input buffers
     # (halves HBM traffic for the two big embedding tables + adam moments)
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, b):
-        def loss_fn(p):
-            return model.apply({"params": p}, b, {},
-                               method=model.calculate_loss)
+    def run_steps(params, opt_state, xs):
+        def body(carry, b):
+            p, s = carry
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state2 = tx.update(grads, opt_state, params)
-        return loss, optax.apply_updates(params, updates), opt_state2
+            def loss_fn(p):
+                return model.apply({"params": p}, b, {},
+                                   method=model.calculate_loss)
 
-    db = jax.device_put(batch)
-    cost = None
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s2 = tx.update(grads, s, p)
+            return (optax.apply_updates(p, updates), s2), loss
+
+        (params, opt_state), losses = lax.scan(
+            body, (params, opt_state), xs)
+        return losses[-1], params, opt_state
+
+    dxs = jax.device_put(xs)
+    cost = io = None
     if roofline:
-        cost = _step_cost(step, params, opt_state, db)
-    for _ in range(WARMUP):
-        loss, params, opt_state = step(params, opt_state, db)
+        # cost analysis on a ONE-step jit (compiled, never run): the scan
+        # program's cost analysis counts the loop body once regardless of
+        # trip count, so a single step is the unambiguous unit
+        @jax.jit
+        def one_step(params, opt_state, b):
+            def loss_fn(p):
+                return model.apply({"params": p}, b, {},
+                                   method=model.calculate_loss)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, s2 = tx.update(grads, opt_state, params)
+            return loss, optax.apply_updates(params, updates), s2
+
+        cost = _step_cost(one_step, params, opt_state, batch0)
+        # per-step I/O floor: the tables + moments exceed VMEM, so every
+        # scan iteration re-reads and re-writes them from HBM (dense adam
+        # touches all params each step) plus reads its slice of the batch
+        io = _io_bytes(params, opt_state, batch0)
+    loss, params, opt_state = run_steps(params, opt_state, dxs)  # compile+warm
     float(loss)  # D2H read: provably drains the warmup chain
     t0 = time.perf_counter()
-    for _ in range(steps):
-        loss, params, opt_state = step(params, opt_state, db)
+    loss, params, opt_state = run_steps(params, opt_state, dxs)
     # D2H readback INSIDE the window: the axon tunnel's block_until_ready
     # returns early; only a device→host read waits for the full chain
-    # (each step consumes the previous step's params, so reading the final
-    # loss forces all `steps` steps)
     float(loss)
     dt = time.perf_counter() - t0
-    eps = BATCH * steps / dt
+    eps = BATCH * K / dt
     if not roofline:
         return eps
-    out = _roofline(cost[0], cost[1], dt / steps)
+    out = _roofline(cost[0], cost[1], dt / K, io_bytes=io)
+    out["steps_per_dispatch"] = K
     out["examples_per_s"] = round(eps, 1)
     return out
 
@@ -203,9 +272,12 @@ CTR_BATCH = 8192
 CTR_EMB = 16
 
 
-def measure_ctr(steps: int = STEPS):
+def measure_ctr(steps: int = STEPS, compute_dtype: str = "float32"):
     """xDeepFM (paper ranking model, CIN compute-heavy) roofline: full
-    train step (fwd + bwd + adam) on a production-shaped CTR batch."""
+    train step (fwd + bwd + adam) on a production-shaped CTR batch.
+    `compute_dtype='bfloat16'` engages the global precision policy (CIN
+    slabs + MLP on the MXU in bf16, fp32 accumulate) — the TPU production
+    configuration; fp32 is the reference-parity configuration."""
     import jax
     import jax.numpy as jnp  # noqa: F401
     import optax
@@ -213,6 +285,9 @@ def measure_ctr(steps: int = STEPS):
     from oovrec_tpu.models import get_model_class
     from oovrec_tpu.models.context import FieldSpec
     from oovrec_tpu.train.optimizers import build_optimizer
+    from oovrec_tpu.utils.precision import set_policy
+
+    set_policy(compute_dtype)
 
     fields = FieldSpec(
         token_names=("user_id", "item_id", "gender", "category", "hour"),
@@ -223,49 +298,74 @@ def measure_ctr(steps: int = STEPS):
     model = get_model_class("xDeepFM")(
         fields=fields, embedding_size=CTR_EMB, dropout_prob=0.0,
     )
+    from jax import lax
+
     rng = np.random.default_rng(1)
     B = CTR_BATCH
-    batch = {
-        "user_id": rng.integers(0, N_USERS, B).astype(np.int32),
-        "item_id": rng.integers(1, N_ITEMS, B).astype(np.int32),
-        "gender": rng.integers(0, 3, B).astype(np.int32),
-        "category": rng.integers(0, 64, B).astype(np.int32),
-        "hour": rng.integers(0, 25, B).astype(np.int32),
-        "age": rng.random(B).astype(np.float32),
-        "age__bucket": np.ones(B, np.int64),
-        "price": rng.random(B).astype(np.float32),
-        "price__bucket": np.ones(B, np.int64),
-        "label": (rng.random(B) < 0.5).astype(np.float32),
-        "weight": np.ones(B, np.float32),
+    K = steps
+    xs = {
+        "user_id": rng.integers(0, N_USERS, (K, B)).astype(np.int32),
+        "item_id": rng.integers(1, N_ITEMS, (K, B)).astype(np.int32),
+        "gender": rng.integers(0, 3, (K, B)).astype(np.int32),
+        "category": rng.integers(0, 64, (K, B)).astype(np.int32),
+        "hour": rng.integers(0, 25, (K, B)).astype(np.int32),
+        "age": rng.random((K, B)).astype(np.float32),
+        "age__bucket": np.ones((K, B), np.int64),
+        "price": rng.random((K, B)).astype(np.float32),
+        "price__bucket": np.ones((K, B), np.int64),
+        "label": (rng.random((K, B)) < 0.5).astype(np.float32),
+        "weight": np.ones((K, B), np.float32),
     }
-    variables = model.init(jax.random.key(0), batch, {},
+    batch0 = {k: v[0] for k, v in xs.items()}
+    variables = model.init(jax.random.key(0), batch0, {},
                            method=model.calculate_loss)
     tx = build_optimizer("adam", 1e-3, mu_dtype="bfloat16")
     params = variables["params"]
     opt_state = tx.init(params)
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, b):
+    def run_steps(params, opt_state, xs):
+        def body(carry, b):
+            p, s = carry
+
+            def loss_fn(p):
+                return model.apply({"params": p}, b, {},
+                                   method=model.calculate_loss)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s2 = tx.update(grads, s, p)
+            return (optax.apply_updates(p, updates), s2), loss
+
+        (params, opt_state), losses = lax.scan(
+            body, (params, opt_state), xs)
+        return losses[-1], params, opt_state
+
+    @jax.jit
+    def one_step(params, opt_state, b):
         def loss_fn(p):
             return model.apply({"params": p}, b, {},
                                method=model.calculate_loss)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state2 = tx.update(grads, opt_state, params)
-        return loss, optax.apply_updates(params, updates), opt_state2
+        updates, s2 = tx.update(grads, opt_state, params)
+        return loss, optax.apply_updates(params, updates), s2
 
-    db = jax.device_put(batch)
-    cost = _step_cost(step, params, opt_state, db)
-    for _ in range(WARMUP):
-        loss, params, opt_state = step(params, opt_state, db)
-    float(loss)  # D2H read: provably drains the warmup chain
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        loss, params, opt_state = step(params, opt_state, db)
-    float(loss)  # D2H read inside the window (see measure())
-    dt = time.perf_counter() - t0
-    out = _roofline(cost[0], cost[1], dt / steps)
-    out["examples_per_s"] = round(B * steps / dt, 1)
+    try:
+        dxs = jax.device_put(xs)
+        cost = _step_cost(one_step, params, opt_state, batch0)
+        io = _io_bytes(params, opt_state, batch0)
+        loss, params, opt_state = run_steps(params, opt_state, dxs)  # compile
+        float(loss)  # D2H read: provably drains the warmup chain
+        t0 = time.perf_counter()
+        loss, params, opt_state = run_steps(params, opt_state, dxs)
+        float(loss)  # D2H read inside the window (see measure())
+        dt = time.perf_counter() - t0
+    finally:
+        set_policy("float32")
+    out = _roofline(cost[0], cost[1], dt / K, io_bytes=io)
+    out["steps_per_dispatch"] = K
+    out["compute_dtype"] = compute_dtype
+    out["examples_per_s"] = round(B * K / dt, 1)
     return out
 
 
@@ -467,8 +567,11 @@ def main():
                           "eval_users_per_s": round(eval_ups, 1)}))
         return
     if "--roofline-only" in sys.argv:  # debugging aid
-        print(json.dumps({"bpr": measure(roofline=True),
-                          "xdeepfm": measure_ctr()}))
+        print(json.dumps({
+            "bpr": measure(roofline=True),
+            "xdeepfm": measure_ctr(),
+            "xdeepfm_bf16": measure_ctr(compute_dtype="bfloat16"),
+        }))
         return
 
     # every metric computed independently: whatever succeeds is emitted
@@ -504,6 +607,11 @@ def main():
         out["xdeepfm"] = measure_ctr()
     except Exception as e:  # noqa: BLE001
         errors["xdeepfm"] = repr(e)
+
+    try:
+        out["xdeepfm_bf16"] = measure_ctr(compute_dtype="bfloat16")
+    except Exception as e:  # noqa: BLE001
+        errors["xdeepfm_bf16"] = repr(e)
 
     try:
         train_eps, eval_ups = measure_epoch()
