@@ -65,29 +65,43 @@ class DCNV2(ContextRecommender):
         self.predict_layer = nn.Dense(1, kernel_init=xavier_normal)
 
     def cross_network(self, x0):
+        # global precision policy (utils/precision.py): bf16 operands on
+        # the MXU (fp32 accumulate) when compute_dtype=bfloat16
+        from oovrec_tpu.utils.precision import compute_dtype
+
+        dt = compute_dtype()
+        x0 = x0.astype(dt)
         xl = x0
         for i in range(self.cross_layer_num):
-            xl_w = jnp.einsum("ij,bj->bi", self.cross_layer_w[i], xl)
-            xl = x0 * (xl_w + self.cross_bias[i][None, :]) + xl
-        return xl
+            xl_w = jnp.einsum("ij,bj->bi", self.cross_layer_w[i].astype(dt), xl)
+            xl = x0 * (xl_w + self.cross_bias[i][None, :].astype(dt)) + xl
+        return xl.astype(jnp.float32)
 
     def cross_network_mix(self, x0):
         """MoE low-rank cross: experts batched on a leading axis."""
+        from oovrec_tpu.utils.precision import compute_dtype
+
+        dt = compute_dtype()
+        x0 = x0.astype(dt)
         xl = x0
         for i in range(self.cross_layer_num):
             # (B, k, r): project into low-rank space per expert
-            xl_v = jnp.einsum("kdr,bd->bkr", self.cross_layer_v[i], xl)
+            xl_v = jnp.einsum(
+                "kdr,bd->bkr", self.cross_layer_v[i].astype(dt), xl)
             xl_c = jnp.tanh(xl_v)
-            xl_c = jnp.einsum("krs,bks->bkr", self.cross_layer_c[i], xl_c)
+            xl_c = jnp.einsum(
+                "krs,bks->bkr", self.cross_layer_c[i].astype(dt), xl_c)
             xl_c = jnp.tanh(xl_c)
-            xl_u = jnp.einsum("kdr,bkr->bkd", self.cross_layer_u[i], xl_c)
-            xl_dot = x0[:, None, :] * (xl_u + self.cross_bias[i][None, None, :])
+            xl_u = jnp.einsum(
+                "kdr,bkr->bkd", self.cross_layer_u[i].astype(dt), xl_c)
+            xl_dot = x0[:, None, :] * (
+                xl_u + self.cross_bias[i][None, None, :].astype(dt))
             gates = jnp.concatenate(
                 [g(xl) for g in self.gating], axis=1
             )  # (B, k)
-            gates = nn.softmax(gates, axis=1)
+            gates = nn.softmax(gates.astype(jnp.float32), axis=1).astype(dt)
             xl = xl + jnp.einsum("bkd,bk->bd", xl_dot, gates)
-        return xl
+        return xl.astype(jnp.float32)
 
     def forward(self, batch: Batch, estate=None, train: bool = False):
         emb = self.concat_embed_input_fields(batch, estate)

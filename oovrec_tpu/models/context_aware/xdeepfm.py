@@ -35,12 +35,15 @@ class xDeepFM(ContextRecommender):
             cin = [int(x // 2 * 2) for x in cin]
         self._cin_sizes = tuple(cin)
 
+        from oovrec_tpu.utils.precision import compute_dtype
+
         field_nums = [self.fields.num_feature_field]
         convs = []
         for i, layer_size in enumerate(self._cin_sizes):
             convs.append(
                 nn.Dense(
-                    layer_size, kernel_init=xavier_normal, name=f"conv1d_{i}"
+                    layer_size, kernel_init=xavier_normal,
+                    dtype=compute_dtype(), name=f"conv1d_{i}"
                 )
             )
             field_nums.append(
@@ -63,9 +66,15 @@ class xDeepFM(ContextRecommender):
     def compressed_interaction_network(self, x, activation="relu"):
         """(B, F, D) → (B, final_len): pairwise Hadamard feature maps,
         1×1 conv over the pair axis (== Dense on axis 1), sum-pool over D
-        (`xdeepfm.py:134-193`)."""
+        (`xdeepfm.py:134-193`). Computes in the global precision policy
+        (utils/precision.py): with `compute_dtype: bfloat16` the Hadamard
+        slabs and pair-axis matmuls run bf16 (fp32 accumulate on the MXU),
+        halving the CIN's HBM traffic; the pooled output returns fp32."""
+        from oovrec_tpu.utils.precision import compute_dtype
+
+        dt = compute_dtype()
         b, _, d = x.shape
-        hidden = [x]
+        hidden = [x.astype(dt)]
         finals = []
         for i, layer_size in enumerate(self._cin_sizes):
             z = jnp.einsum("bhd,bmd->bhmd", hidden[-1], hidden[0])
@@ -83,7 +92,7 @@ class xDeepFM(ContextRecommender):
             if next_hidden is not None:
                 hidden.append(next_hidden)
         result = jnp.concatenate(finals, axis=1)
-        return jnp.sum(result, axis=-1)
+        return jnp.sum(result.astype(jnp.float32), axis=-1)
 
     def forward(self, batch: Batch, estate=None, train: bool = False):
         emb = self.concat_embed_input_fields(batch, estate)  # (B, F, D)

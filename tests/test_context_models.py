@@ -137,3 +137,42 @@ def test_ctr_inductive_oov_training(tmp_path):
     assert "user_oov_buckets" in params["fields"]
     assert "user_oov_buckets" in params["first_order_linear"]["fo"]
     assert params["first_order_linear"]["fo"]["user_oov_buckets"]["embedding"].shape == (8, 1)
+
+
+@pytest.mark.parametrize("model,over", [
+    ("xDeepFM", {"cin_layer_size": [8, 8]}),
+    ("DCNV2", {"cross_layer_num": 2}),
+    ("DCNV2", {"cross_layer_num": 2, "mixed": True,
+               "expert_num": 2, "low_rank": 4}),
+])
+def test_compute_dtype_policy_close_to_fp32(model, over, tmp_path):
+    """`compute_dtype: bfloat16` routes the CIN / cross networks through
+    bf16 (fp32 accumulate); predictions must stay close to the fp32
+    reference-parity path, and the default policy must stay fp32."""
+    import jax
+
+    from oovrec_tpu.cli.quick_start import build_model_and_state
+    from oovrec_tpu.data.utils import create_dataset, data_preparation
+    from oovrec_tpu.utils.precision import compute_dtype, set_policy
+
+    cfg = Config(config_dict=_ranking_cfg(
+        model, checkpoint_dir=str(tmp_path), **over))
+    ds = create_dataset(cfg)
+    train_loader, _, _ = data_preparation(cfg, ds)
+    batch = next(iter(train_loader))
+
+    def predict(policy):
+        set_policy(policy)
+        try:
+            m, variables, estate = build_model_and_state(
+                cfg, ds, template_batch=batch)
+            return np.asarray(m.apply(
+                variables, batch, estate, method=m.predict))
+        finally:
+            set_policy("float32")
+
+    p32 = predict("float32")
+    pbf = predict("bfloat16")
+    assert compute_dtype() == jax.numpy.float32  # policy restored
+    np.testing.assert_allclose(pbf, p32, atol=3e-2)
+    assert not np.allclose(pbf, p32, atol=1e-9) or p32.std() == 0
