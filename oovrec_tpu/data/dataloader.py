@@ -559,6 +559,11 @@ class NegSampleEvalBatcher:
         self.max_pos = int(
             np.sort(self.uid2items_num)[::-1][:step].sum()
         ) if len(self.uid2items_num) else 1
+        # feature-column joining onto the expanded rows is only needed by
+        # models that consume feature columns in predict() (CONTEXT
+        # models); the eval runner flips this off for id-only models —
+        # at uniN scale the joined columns dominate batch memory
+        self.join_features = True
 
         # per-process user sharding (DistributedSampler semantics): each
         # process evaluates its interleaved user slice; pad dims come
@@ -586,6 +591,46 @@ class NegSampleEvalBatcher:
             sel = slice(self.process_index, None, self.process_count)
             self.uid_list = self.uid_list[sel]
             self._slices = self._slices[sel]
+            max_local = -(-self.n_global_users // self.process_count)
+            n_batches = (max_local + self.step - 1) // self.step
+            self._groups = [
+                (i * self.step,
+                 min((i + 1) * self.step, len(self.uid_list)))
+                for i in range(n_batches)
+            ]
+        else:
+            # single process: greedy row-budget packing in uid order.
+            # The reference derives a FIXED users-per-batch step from the
+            # largest expanded users (`general_dataloader.py:127-143`),
+            # which degenerates when one user's expansion approaches
+            # eval_batch_size: step collapses to ~1 user and every batch
+            # pads to the global max (a 10M-row uni250 test eval blew
+            # 130 GB of host RAM in padding). Packing users until the row
+            # budget is hit keeps batch count ≈ total_rows/budget with
+            # bounded padding; per-user seeded candidate draws make batch
+            # composition metric-invariant.
+            row_sizes = self.uid2items_num * self.times
+            groups = []
+            gstart, acc = 0, 0
+            for i, sz in enumerate(row_sizes):
+                if i > gstart and acc + int(sz) > bs:
+                    groups.append((gstart, i))
+                    gstart, acc = i, 0
+                acc += int(sz)
+            if gstart < len(row_sizes):
+                groups.append((gstart, len(row_sizes)))
+            self._groups = groups or [(0, 0)]
+            self.max_users = max((e - s for s, e in self._groups),
+                                 default=1) or 1
+            self.step = self.max_users
+            self.max_rows = int(max(
+                (row_sizes[s:e].sum() for s, e in self._groups
+                 if e > s), default=1,
+            )) or 1
+            self.max_pos = int(max(
+                (self.uid2items_num[s:e].sum() for s, e in self._groups
+                 if e > s), default=1,
+            )) or 1
 
         self.user_feat = (
             split.parent.get_user_feature()
@@ -599,8 +644,7 @@ class NegSampleEvalBatcher:
         )
 
     def __len__(self) -> int:
-        max_local = -(-self.n_global_users // self.process_count)
-        return (max_local + self.step - 1) // self.step
+        return len(self._groups)
 
     def _empty_batch(self) -> Batch:
         """All-pad batch (weight 0 everywhere): tail batches of processes
@@ -614,12 +658,13 @@ class NegSampleEvalBatcher:
         batch[self.label_field] = np.zeros(self.max_rows, np.float32)
         batch["row_user"] = np.zeros(self.max_rows, np.int64)
         batch["weight"] = np.zeros(self.max_rows, np.float32)
-        _join_features(
-            batch, batch[self.iid_field], self.item_feat, self.iid_field
-        )
-        _join_features(
-            batch, batch[self.uid_field], self.user_feat, self.uid_field
-        )
+        if self.join_features:
+            _join_features(
+                batch, batch[self.iid_field], self.item_feat, self.iid_field
+            )
+            _join_features(
+                batch, batch[self.uid_field], self.user_feat, self.uid_field
+            )
         batch["positive_u"] = np.zeros(self.max_pos, np.int64)
         batch["positive_i"] = np.zeros(self.max_pos, np.int64)
         batch["positive_weight"] = np.zeros(self.max_pos, np.float32)
@@ -634,9 +679,8 @@ class NegSampleEvalBatcher:
         # eval pass, a checkpoint reload, and any per-process user
         # sharding draw the IDENTICAL uniN candidate set for each user
         seed0 = int(self.config["seed"] or 0)
-        for bidx in range(len(self)):
-            bstart = bidx * self.step
-            users = self.uid_list[bstart : bstart + self.step]
+        for bstart, bend in self._groups:
+            users = self.uid_list[bstart:bend]
             if len(users) == 0:
                 yield self._empty_batch()
                 continue
@@ -682,12 +726,13 @@ class NegSampleEvalBatcher:
             w = np.zeros(self.max_rows, dtype=np.float32)
             w[:nrows] = 1.0
             batch["weight"] = w
-            _join_features(
-                batch, batch[self.iid_field], self.item_feat, self.iid_field
-            )
-            _join_features(
-                batch, batch[self.uid_field], self.user_feat, self.uid_field
-            )
+            if self.join_features:
+                _join_features(
+                    batch, batch[self.iid_field], self.item_feat, self.iid_field
+                )
+                _join_features(
+                    batch, batch[self.uid_field], self.user_feat, self.uid_field
+                )
 
             pu = np.concatenate(positive_u)
             pi = np.concatenate(positive_i)

@@ -208,7 +208,7 @@ class EvalRunner:
                 eval_loader.users_per_batch = min(
                     want, max(1, len(eval_loader.uid_list))
                 )
-        batches = [to_device_batch(b) for b in eval_loader]
+        batches = (to_device_batch(b) for b in eval_loader)
         if self._fullsort_sweep is None:
             model, maxk = self.model, self.maxk
 
@@ -250,20 +250,33 @@ class EvalRunner:
     def _stack_chunks(self, batches):
         """Yield (stacked, chunk_batches): batches stacked on a leading
         scan axis in chunks bounded by `device_eval_max_elements` device
-        elements per program call. Equal-size chunks reuse one compiled
-        sweep; at most one remainder shape compiles extra."""
-        per_batch = sum(
-            int(np.asarray(v).size) for v in batches[0].values()
-        )
+        elements per program call. Accepts an ITERATOR and buffers only
+        one chunk of host batches at a time (a 10M-corpus uni250 pass has
+        ~200M expanded rows — materializing every batch OOMs the host).
+        Equal-size chunks reuse one compiled sweep; at most one remainder
+        shape compiles extra."""
+        it = iter(batches)
+        first = next(it, None)
+        if first is None:
+            return
+        per_batch = sum(int(np.asarray(v).size) for v in first.values())
         max_el = float(self.config.get("device_eval_max_elements") or 5e8)
-        chunk = max(1, min(len(batches), int(max_el // max(1, per_batch))))
-        for s in range(0, len(batches), chunk):
-            cb = batches[s:s + chunk]
-            stacked = {
+        chunk = max(1, int(max_el // max(1, per_batch)))
+
+        def _stack(cb):
+            return {
                 k: jnp.asarray(np.stack([b[k] for b in cb]))
                 for k in cb[0]
             }
-            yield stacked, cb
+
+        buf = [first]
+        for b in it:
+            if len(buf) == chunk:
+                yield _stack(buf), buf
+                buf = []
+            buf.append(b)
+        if buf:
+            yield _stack(buf), buf
 
     def _evaluate_scanned_neg(self, variables, eval_loader, collector,
                               estate):
@@ -306,7 +319,7 @@ class EvalRunner:
 
             self._neg_sweeps[key] = sweep
 
-        batches = [to_device_batch(b) for b in eval_loader]
+        batches = (to_device_batch(b) for b in eval_loader)
         n = 0.0
         for stacked, _chunk in self._stack_chunks(batches):
             pos_idx, pos_len, user_w = self._neg_sweeps[key](
@@ -400,6 +413,17 @@ class EvalRunner:
         ):
             collector.data_collect(self.train_split)
         estate = _device_estate(self.estate)
+
+        if isinstance(eval_loader, NegSampleEvalBatcher):
+            # expanded-row feature joins are only consumed by CONTEXT
+            # models' predict(); for id-only models they multiply uniN
+            # batch memory (uid/iid/label/row_user vs every feature
+            # column on ~200M rows at the 10M-corpus scale)
+            from oovrec_tpu.utils.enums import ModelType
+
+            eval_loader.join_features = (
+                getattr(self.model, "model_type", None) == ModelType.CONTEXT
+            )
 
         from oovrec_tpu.data.sequential import SeqFullSortEvalBatcher
 
