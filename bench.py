@@ -56,8 +56,7 @@ N_ITEMS = 100_000
 EMB = 64
 BATCH = 8192
 N_BUCKETS = 1024
-WARMUP = 3
-STEPS = 30
+STEPS = 30  # warmup is the first run_steps call (compile + warm dispatch)
 SIG = f"bpr-{N_USERS}-{N_ITEMS}-{EMB}-{BATCH}-{N_BUCKETS}-donated-bf16mu-scan"
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baselines.json")

@@ -619,7 +619,10 @@ class NegSampleEvalBatcher:
                 acc += int(sz)
             if gstart < len(row_sizes):
                 groups.append((gstart, len(row_sizes)))
-            self._groups = groups or [(0, 0)]
+            # empty uid_list → zero batches (matches the multi-process
+            # branch and the step-based loaders); a synthetic all-pad
+            # batch would feed 0-weight rows into metric averaging
+            self._groups = groups
             self.max_users = max((e - s for s, e in self._groups),
                                  default=1) or 1
             self.step = self.max_users

@@ -192,6 +192,7 @@ class EvalRunner:
             return self._evaluate_scanned_neg(
                 variables, eval_loader, collector, estate
             )
+        restore_upb = None
         if (type(eval_loader) is FullSortEvalBatcher
                 and eval_loader.process_count == 1):
             # `eval_batch_size` (paper protocol: 1e5) is the reference's
@@ -200,14 +201,28 @@ class EvalRunner:
             # top-k overhead. Block width does not affect metrics (users
             # are independent), so the device pass re-blocks to a
             # chip-sized score slab (~`device_eval_score_elements`
-            # elements per step, default 2^24 ≈ 64 MB fp32).
+            # elements per step, default 2^24 ≈ 64 MB fp32). The override
+            # is restored afterwards — a later host per-batch pass over
+            # the same loader must keep the configured eval_batch_size
+            # blocking (device-sized blocks blow up host memory there).
             block = int(self.config.get("device_eval_score_elements")
                         or (1 << 24))
             want = max(1, block // max(1, eval_loader.item_num))
             if want > eval_loader.users_per_batch:
+                restore_upb = eval_loader.users_per_batch
                 eval_loader.users_per_batch = min(
                     want, max(1, len(eval_loader.uid_list))
                 )
+        try:
+            return self._evaluate_scanned_fullsort(
+                variables, eval_loader, collector, estate
+            )
+        finally:
+            if restore_upb is not None:
+                eval_loader.users_per_batch = restore_upb
+
+    def _evaluate_scanned_fullsort(self, variables, eval_loader,
+                                   collector, estate):
         batches = (to_device_batch(b) for b in eval_loader)
         if self._fullsort_sweep is None:
             model, maxk = self.model, self.maxk

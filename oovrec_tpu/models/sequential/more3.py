@@ -45,11 +45,22 @@ class SHAN(SequentialRecommender):
         al = nn.softmax(al, axis=1)
         long_repr = jnp.sum(al[:, :, None] * x, axis=1)   # (B, D)
 
-        # short-term: last K items + the long repr
+        # short-term: last K items + the long repr. The reference feeds
+        # SHAN the inverse (right-aligned) sequence via the
+        # inverse_itemseq transform; when that field is in the batch we
+        # read the tail of it (most-recent-first), otherwise we derive
+        # the same K items in-model by index — identical values at every
+        # valid position, so metrics are transform-path invariant.
         K = self.short_item_length
-        idx = jnp.clip(lengths[:, None] - 1 - jnp.arange(K)[None, :], 0, L - 1)
         valid = (lengths[:, None] - 1 - jnp.arange(K)[None, :]) >= 0
-        recent = self.item_embedding(jnp.take_along_axis(seq, idx, axis=1))
+        inv_field = "Inverse_" + self.iid_field + self.list_suffix
+        if inv_field in batch and L >= K:
+            recent_ids = batch[inv_field][:, -K:][:, ::-1]
+        else:
+            idx = jnp.clip(
+                lengths[:, None] - 1 - jnp.arange(K)[None, :], 0, L - 1)
+            recent_ids = jnp.take_along_axis(seq, idx, axis=1)
+        recent = self.item_embedding(recent_ids)
         cat = jnp.concatenate([long_repr[:, None, :], recent], axis=1)
         cmask = jnp.concatenate(
             [jnp.ones((B, 1), bool), valid], axis=1

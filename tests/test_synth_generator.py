@@ -78,10 +78,11 @@ def test_sampler_follows_latent_affinity(corpus):
     """Interactions must concentrate on high-affinity (u,i) pairs: the
     mean latent score of sampled pairs sits far above a random pairing
     (this is what makes the corpus learnable, and what the blocked
-    inverse-CDF rewrite must preserve)."""
-    rng = np.random.default_rng(7)  # same seed path as generate()
-    U = rng.standard_normal((300, 8)) * 0.7
-    I = rng.standard_normal((200, 8)) * 0.7
+    inverse-CDF rewrite must preserve). Asserts against the factors the
+    generator PERSISTED (g-ind.latent.npz) — replaying its internal RNG
+    stream here would silently break on any draw-order change."""
+    latent = np.load(os.path.join(corpus, "g-ind", "g-ind.latent.npz"))
+    U, I = latent["U"], latent["I"]
     _, rows = _read(os.path.join(corpus, "g-ind", "g-ind.inter"))
     uu = np.array([int(r[0][1:]) for r in rows])
     ii = np.array([int(r[1][1:]) for r in rows])

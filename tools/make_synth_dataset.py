@@ -77,7 +77,7 @@ def generate(out: str, name: str, n_users: int, n_items: int, n_inters: int,
     if n_fix:
         fu = np.concatenate([missing_u, rng.choice(old_users, n_fix - len(missing_u))])
         fi = np.concatenate([missing_i, rng.choice(old_items, n_fix - len(missing_i))])
-        ft = tt[-1] + 1 + np.arange(n_fix)
+        ft = ((tt[-1] + 1) if len(tt) else 0) + np.arange(n_fix)
         tu, ti, tt = (
             np.concatenate([tu, fu]),
             np.concatenate([ti, fi]),
@@ -153,6 +153,10 @@ def generate(out: str, name: str, n_users: int, n_items: int, n_inters: int,
       + [f"u{u}\ti{i}\t{t}" for u, i, t in zip(nu, ni, nt)])
     w(f"{d2}/{name}_ind.user", [uh] + user_rows(all_users))
     w(f"{d2}/{name}_ind.item", [ih] + item_rows(all_items))
+    # persist the latent factors: tests assert affinity properties against
+    # THESE arrays instead of replaying the generator's internal RNG
+    # stream (which silently breaks on any draw-order change)
+    np.savez(f"{d}/{name}.latent.npz", U=U, I=I)
     print(f"wrote {name}: {len(tu)} transductive + {len(nu)} inductive rows")
 
 
