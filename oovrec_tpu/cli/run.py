@@ -72,18 +72,78 @@ def merge_dataset_config(args: Dict[str, Any],
     return args
 
 
-def backup_weights(paths, nfs_path=None, logger=None) -> None:
-    """Weight backup cascade, local-only flavor of
-    `src/run_recbole.py:117-166`."""
-    if not nfs_path:
-        return
-    try:
-        os.makedirs(nfs_path, exist_ok=True)
-        for p in paths:
-            if p and os.path.isfile(p):
+def _gcs_upload(bucket_name: str, dataset: str, paths) -> None:
+    """GCS leg of the cascade (`src/run_recbole.py:120-133`): upload each
+    weight file to `recsys-weights/<dataset>/<basename>` with an
+    if-generation-match=0 precondition (never overwrite). Zero-egress
+    builds fail fast here (no google-cloud-storage wheel / no network) and
+    the cascade falls through to NFS — same behavior as the reference when
+    GCS is unreachable."""
+    from google.cloud import storage  # noqa: PLC0415 — optional dep
+
+    bucket = storage.Client().bucket(bucket_name)
+    for p in paths:
+        if p and os.path.isfile(p):
+            blob = bucket.blob(
+                os.path.join("recsys-weights", dataset, os.path.basename(p))
+            )
+            blob.upload_from_filename(p, if_generation_match=0)
+
+
+def backup_weights(paths, config=None, nfs_path=None, logger=None,
+                   wandb_logger=None) -> list:
+    """Weight backup cascade (`src/run_recbole.py:117-166`): GCS (when
+    `gcs_bucket_name` is configured) → NFS (`nfs_backup_path`) → local
+    `saved/<dataset>/` only if neither succeeded; a wandb alert fires when
+    every leg fails. Returns the list of media that succeeded."""
+    config = config or {}
+    warn = logger.warning if logger else print
+    media: list = []
+    paths = [p for p in paths if p and os.path.isfile(p)]
+
+    if config.get("gcs_bucket_name"):
+        try:
+            _gcs_upload(config["gcs_bucket_name"],
+                        str(config.get("dataset", "")), paths)
+            media.append("gcs")
+        except Exception as e:  # noqa: BLE001 — any leg failure falls through
+            warn(f"Failed to upload to GCS: {e}")
+
+    if nfs_path is None:
+        nfs_path = config.get("nfs_backup_path")
+    if nfs_path:
+        try:
+            os.makedirs(nfs_path, exist_ok=True)
+            for p in paths:
                 shutil.copy2(p, nfs_path)
-    except OSError as e:
-        (logger.warning if logger else print)(f"weight backup failed: {e}")
+            media.append("nfs")
+        except OSError as e:
+            warn(f"Failed to write to NFS: {e}")
+
+    if not media:
+        try:
+            backup_dir = os.path.join("saved", str(config.get("dataset", "")))
+            os.makedirs(backup_dir, exist_ok=True)
+            for p in paths:
+                if os.path.abspath(os.path.dirname(p)) != os.path.abspath(
+                    backup_dir
+                ):
+                    shutil.copy2(p, backup_dir)
+            media.append("local")
+        except OSError as e:
+            warn(f"Failed to write to local: {e}")
+
+    if wandb_logger is not None:
+        for m in media:
+            wandb_logger.log_raw({"file_backup_medium": m}, commit=False)
+        if not media:
+            wandb_logger.alert(
+                title="Backup Failure",
+                text="Failed to backup to any medium!",
+            )
+    if not media:
+        warn("Failed to backup to any medium!")
+    return media
 
 
 def main(argv=None) -> Dict[str, Any]:
@@ -106,8 +166,10 @@ def main(argv=None) -> Dict[str, Any]:
     trainer = res["trainer"]
     backup_weights(
         [trainer.saved_model_file],
+        config=res["config"],
         nfs_path=res["config"]["nfs_backup_path"],
         logger=trainer.logger,
+        wandb_logger=trainer.wandblogger,
     )
 
     if args.get("inductive_eval"):

@@ -114,6 +114,19 @@ class DeviceEpoch:
                     split.user_num, split.item_num,
                 )
             )
+        # popularity sampling (`sampler.py:78-93`): the host draws from
+        # counts**alpha normalized — on device the same distribution is an
+        # inverse-CDF draw (uniform → searchsorted into the cumsum), the
+        # classic TPU-friendly form (one (n_items,) table in HBM, one
+        # log-time gather per draw)
+        self.pop_cdf = None
+        pop_p = getattr(loader.sampler, "_pop_p", None)
+        if (self.mode in ("pairwise", "pointwise")
+                and pop_p is not None):
+            self.pop_cdf = place(np.cumsum(pop_p).astype(np.float32))
+        # pointwise expansion factor: 1 positive + (times-1) negatives
+        # (`dataloader.py` neg_flat order='F' layout)
+        self.times = int(getattr(loader, "times", 2) or 2)
 
         def pad_col(v):
             v = np.asarray(v)
@@ -221,20 +234,33 @@ class DeviceEpoch:
         )
         CH = 4  # draw rounds per while iteration
 
-        def sample_negs(rng, u, bitmap):
+        def draw(rng, shape, pop_cdf):
+            """One round of candidate draws: uniform ids, or the host
+            popularity distribution (`sampler.py:78-93`, counts**alpha)
+            as an inverse-CDF draw — uniform → searchsorted(cumsum)."""
+            if pop_cdf is None:
+                return jax.random.randint(rng, shape, 1, n_items, jnp.int32)
+            un = jax.random.uniform(rng, shape)
+            return jnp.searchsorted(
+                pop_cdf, un, side="right"
+            ).astype(jnp.int32)
+
+        def sample_negs(rng, u, bitmap, pop_cdf=None):
             """Bounded masked resampling against the used bitmap —
             `sampler.py:106-126` semantics (keep the FIRST unused of up
-            to R uniform draws; give up after R like the host sampler).
-            The R-round budget is spent lazily: a bounded while_loop
-            draws CH rounds per iteration and exits once every lane
-            resolved — with used fractions of a few percent that is one
-            iteration, so the bitmap-gather cost is ~CH·B instead of R·B
-            (the R=64 eager version measured 3× slower end-to-end).
-            Repeatable samplers (`RepeatableSampler`, sampler.py:371)
-            skip used-pair avoidance entirely — one plain draw."""
+            to R draws; give up after R like the host sampler). The
+            R-round budget is spent lazily: a bounded while_loop draws CH
+            rounds per iteration and exits once every lane resolved —
+            with used fractions of a few percent that is one iteration,
+            so the bitmap-gather cost is ~CH·n instead of R·n (the R=64
+            eager version measured 3× slower end-to-end). Repeatable
+            samplers (`RepeatableSampler`, sampler.py:371) skip used-pair
+            avoidance entirely — one plain draw. `u` may be any length
+            (pointwise times>2 tiles it ×(times-1))."""
+            n = u.shape[0]
             if bitmap is None:
-                return jax.random.randint(rng, (B,), 1, n_items, jnp.int32)
-            lanes = jnp.arange(B)
+                return draw(rng, (n,), pop_cdf)
+            lanes = jnp.arange(n)
 
             def test_used(c):
                 words = bitmap[u[None, :], c >> 5]
@@ -246,11 +272,10 @@ class DeviceEpoch:
 
             def body(state):
                 i, c, ok = state
-                draws = jax.random.randint(
-                    jax.random.fold_in(rng, i), (CH, B), 1, n_items,
-                    jnp.int32,
+                draws = draw(
+                    jax.random.fold_in(rng, i), (CH, n), pop_cdf
                 )
-                free = ~test_used(draws)                    # (CH, B)
+                free = ~test_used(draws)                    # (CH, n)
                 any_free = jnp.any(free, axis=0)
                 first = jnp.argmax(free, axis=0)
                 cand = draws[first, lanes]
@@ -259,11 +284,9 @@ class DeviceEpoch:
 
             # give-up fallback: rows that stay used after R rounds keep a
             # plain uniform draw (the host keeps its last bad draw)
-            c0 = jax.random.randint(
-                jax.random.fold_in(rng, R), (B,), 1, n_items, jnp.int32
-            )
+            c0 = draw(jax.random.fold_in(rng, R), (n,), pop_cdf)
             _, c, _ = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), c0, jnp.zeros(B, bool))
+                cond, body, (jnp.int32(0), c0, jnp.zeros(n, bool))
             )
             return c
 
@@ -341,9 +364,12 @@ class DeviceEpoch:
         # implicit-constant path proved fragile when single-device and
         # mesh epoch programs coexist in one process (buffer-count
         # mismatches on executable reuse)
+        T = self.times
+
         @partial(jax.jit, **jit_kwargs)
         def epoch_fn(params, extra_vars, opt_state, estate, rng, step0,
-                     columns, weights, bitmap, user_feat, item_feat):
+                     columns, weights, bitmap, pop_cdf, user_feat,
+                     item_feat):
             perm_rng, samp_rng, drop_rng, oov_rng = jax.random.split(rng, 4)
             n_pad = weights.shape[0]
             perm = jax.random.permutation(perm_rng, n_pad)
@@ -398,23 +424,31 @@ class DeviceEpoch:
                     carry, loss = train_step(carry, batch, idx)
                     return carry, loss
                 bu, bi = bc[uidf], bc[iidf]
-                neg = sample_negs(
-                    jax.random.fold_in(samp_rng, idx), bu, bitmap
-                )
+                if self.mode == "pairwise":
+                    neg = sample_negs(
+                        jax.random.fold_in(samp_rng, idx), bu, bitmap,
+                        pop_cdf,
+                    )
                 if self.mode == "pointwise":
                     # host layout (dataloader.py:229-244): every inter
-                    # column tiled ×2, item column = [positives ∥ negs],
-                    # generated 1/0 labels, features joined per row
+                    # column tiled ×T, item column = [positives ∥
+                    # neg.flatten(order='F')] — (T-1) negatives per
+                    # positive — generated 1/0 labels, features joined
+                    # per row
+                    neg = sample_negs(
+                        jax.random.fold_in(samp_rng, idx),
+                        jnp.tile(bu, T - 1), bitmap, pop_cdf,
+                    )
                     batch = {
-                        k: jnp.concatenate([v, v]) for k, v in bc.items()
+                        k: jnp.concatenate([v] * T) for k, v in bc.items()
                     }
                     ids_i = jnp.concatenate([bi, neg])
-                    ids_u = jnp.concatenate([bu, bu])
+                    ids_u = jnp.tile(bu, T)
                     batch[iidf] = ids_i
                     batch[self.label_field] = jnp.concatenate(
-                        [bw, jnp.zeros_like(bw)]
+                        [bw, jnp.zeros((T - 1) * B, bw.dtype)]
                     )
-                    batch["weight"] = jnp.concatenate([bw, bw])
+                    batch["weight"] = jnp.tile(bw, T)
                     if user_feat:
                         for f, t in user_feat.items():
                             batch[f] = t[ids_u]
@@ -470,7 +504,7 @@ class DeviceEpoch:
             rng = jax.random.wrap_key_data(rng)  # raw uint32[2] callers
         args = (
             params, extra_vars, opt_state, estate, rng, jnp.int32(step0),
-            self.columns, self.weights, self.bitmap,
+            self.columns, self.weights, self.bitmap, self.pop_cdf,
             self.user_feat, self.item_feat,
         )
         return self._fn(*args)
@@ -500,18 +534,18 @@ def device_epoch_eligible(trainer, loader, config) -> bool:
     # `supports_device_epoch` on the model asserts its loss consumes only
     # split columns (+ sampled negatives in pairwise mode, + joined
     # feature columns in pointwise mode — which ARE provided on device).
+    # uniform AND popularity draws both run on device (popularity is an
+    # inverse-CDF draw against the host sampler's cumsum — same
+    # distribution, device threefry stream); dynamic hard negatives need
+    # the live-params scorer per batch and stay on the host pipeline
+    dist_ok = getattr(loader.sampler, "distribution", None) in (
+        "uniform", "popularity",
+    )
     if loader.mode == "pairwise":
-        sampling_ok = (
-            loader.times == 1
-            and not loader.dynamic
-            and getattr(loader.sampler, "distribution", None) == "uniform"
-        )
+        sampling_ok = loader.times == 1 and not loader.dynamic and dist_ok
     elif loader.mode == "pointwise":
-        sampling_ok = (
-            loader.times == 2  # 1 uniform negative per positive
-            and not loader.dynamic
-            and getattr(loader.sampler, "distribution", None) == "uniform"
-        )
+        # (times-1) negatives per positive, any times >= 2
+        sampling_ok = loader.times >= 2 and not loader.dynamic and dist_ok
     elif loader.mode == "plain":
         sampling_ok = True  # no negatives drawn (seq CE / plain losses)
     else:

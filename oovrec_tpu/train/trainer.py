@@ -271,6 +271,92 @@ class Trainer:
             self._train_step = self._make_step(False)
         return self._train_step
 
+    # ----------------------------------------------- host-scan dispatch
+
+    def _make_scan_step(self, frozen: bool):
+        """K host batches per device dispatch: stacked batches lax.scan
+        through the SAME per-step program as `_make_step` (identical loss,
+        rng = fold_in(dropout_key, global_step), freeze semantics). On a
+        tunneled device the per-dispatch RTT dominates a 2048-row step
+        (BENCH_r03: host pipeline collapsed to 59k ex/s at ~30 ms/dispatch)
+        — amortizing it over K steps recovers the kernel-bound rate."""
+        model, tx = self.model, self.tx
+        freeze_mask = None
+        if frozen:
+            freeze_mask = jax.tree_util.tree_map_with_path(
+                lambda path, _: _is_oov_param_path(path),
+                self.variables["params"],
+            )
+
+        @partial(jax.jit, donate_argnums=(0, 2))
+        def scan_step(params, extra_vars, opt_state, batches, estate,
+                      drop_key, step0):
+            K = jax.tree_util.tree_leaves(batches)[0].shape[0]
+            idxs = step0 + jnp.arange(K, dtype=jnp.int32)
+
+            def body(carry, xs):
+                p, ev, os_ = carry
+                batch, idx = xs
+
+                def loss_fn(p):
+                    out, new_vars = model.apply(
+                        {"params": p, **ev}, batch, estate,
+                        method=model.calculate_loss,
+                        rngs={"dropout": jax.random.fold_in(drop_key, idx)},
+                        mutable=["batch_stats"],
+                    )
+                    return out, new_vars
+
+                (loss, new_vars), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(p)
+                updates, nos = tx.update(grads, os_, p)
+                if freeze_mask is not None:
+                    updates = jax.tree.map(
+                        lambda m, u: u if m else jnp.zeros_like(u),
+                        freeze_mask, updates,
+                    )
+                    nos = _select_opt_state(freeze_mask, os_, nos)
+                np_ = optax.apply_updates(p, updates)
+                if "batch_stats" in new_vars:
+                    ev = dict(ev, batch_stats=new_vars["batch_stats"])
+                return (np_, ev, nos), loss
+
+            (params, extra_vars, opt_state), losses = jax.lax.scan(
+                body, (params, extra_vars, opt_state), (batches, idxs)
+            )
+            return losses, params, extra_vars, opt_state
+
+        return scan_step
+
+    def _get_scan_step(self, frozen: bool):
+        if getattr(self, "_scan_steps", None) is None:
+            self._scan_steps = {}
+        if frozen not in self._scan_steps:
+            self._scan_steps[frozen] = self._make_scan_step(frozen)
+        return self._scan_steps[frozen]
+
+    def _host_scan_k(self, loader) -> int:
+        """Batches per dispatch for the host pipeline. `host_scan_steps:
+        auto` engages K=16 for static-shape single-process loads; dynamic
+        hard negatives need live params per batch (the scorer callback) so
+        they stay per-batch; tiny loaders keep the per-batch path so
+        seeded fixture trajectories don't re-compile twice for a one-off
+        remainder program."""
+        flag = self.config.get("host_scan_steps", "auto")
+        if flag in (False, 0, 1, None):
+            return 1
+        if getattr(loader, "dynamic", False):
+            return 1
+        if self.config["oov_debug_skip_train"]:
+            return 1
+        if jax.process_count() > 1:
+            return 1
+        k = 16 if flag == "auto" else max(1, int(flag))
+        if flag == "auto" and len(loader) < 4 * k:
+            return 1
+        return k
+
     # ------------------------------------------------------------ epochs
 
     def _train_epoch(self, train_loader, epoch_idx: int,
@@ -314,6 +400,56 @@ class Trainer:
         losses = []
         n_examples = 0
         t_epoch = time.time()
+        # host-scan dispatch: group K prepared batches per device call
+        # (single-process, static shapes; mesh batches shard per-batch on
+        # axis 0 so the mesh path stays per-batch)
+        K = self._host_scan_k(train_loader) if self.mesh is None else 1
+        scan_step = self._get_scan_step(frozen) if K > 1 else None
+        buf: list = []
+        buf_sig = None
+
+        def run_one(db):
+            nonlocal params, extra_vars, opt_state
+            rng = jax.random.fold_in(self._dropout_key, self._global_step)
+            self._global_step += 1
+            loss, params, new_vars, opt_state = step(
+                params, extra_vars, opt_state, self._place_batch(db),
+                estate, rng
+            )
+            # keep the live params visible to concurrent readers — the
+            # dynamic hard-negative scorer reads them per batch (the
+            # reference scores with the live model, train_data.get_model);
+            # donation is disabled in dynamic mode so this is safe
+            self._live_params = params
+            if "batch_stats" in new_vars:
+                extra_vars = dict(
+                    extra_vars, batch_stats=new_vars["batch_stats"]
+                )
+            # do NOT block on the loss here: keeping it a device value
+            # lets host batch assembly overlap device compute (the
+            # reference's per-batch .item() is the stall we're removing)
+            losses.append(loss)
+
+        def flush(final: bool):
+            nonlocal params, extra_vars, opt_state, buf
+            if len(buf) == K:
+                stacked = {
+                    k: np.stack([b[k] for b in buf]) for k in buf[0]
+                }
+                ls, params, extra_vars, opt_state = scan_step(
+                    params, extra_vars, opt_state, stacked, estate,
+                    self._dropout_key, np.int32(self._global_step),
+                )
+                self._global_step += K
+                self._live_params = params
+                losses.append(ls)
+            else:
+                # remainder (or shape-signature change): same per-step
+                # program as the K=1 path — identical trajectory
+                for b in buf:
+                    run_one(b)
+            buf = []
+
         for batch in train_loader:
             if keep_ratio is not None and self._oov_rng.random() > keep_ratio:
                 continue
@@ -327,26 +463,24 @@ class Trainer:
                         self.dhe_hasher.annotate_batch(
                             batch, f, spec.prime_pad, padded_when_flagged=True
                         )
-            db = self._place_batch(to_device_batch(batch))
-            rng = jax.random.fold_in(self._dropout_key, self._global_step)
-            self._global_step += 1
-            loss, params, new_vars, opt_state = step(
-                params, extra_vars, opt_state, db, estate, rng
-            )
-            # keep the live params visible to concurrent readers — the
-            # dynamic hard-negative scorer reads them per batch (the
-            # reference scores with the live model, train_data.get_model);
-            # donation is disabled in dynamic mode so this is safe
-            self._live_params = params
-            if "batch_stats" in new_vars:
-                extra_vars = dict(extra_vars, batch_stats=new_vars["batch_stats"])
-            # do NOT block on the loss here: keeping it a device value lets
-            # host batch assembly overlap device compute (the reference's
-            # per-batch .item() is the stall we're removing)
-            losses.append(loss)
+            db = to_device_batch(batch)
             n_examples += int(np.asarray(batch["weight"]).sum())
+            if K == 1:
+                run_one(db)
+            else:
+                sig = tuple(sorted(
+                    (k, v.shape, str(v.dtype)) for k, v in db.items()
+                ))
+                if buf and sig != buf_sig:
+                    flush(final=False)
+                buf_sig = sig
+                buf.append(db)
+                if len(buf) == K:
+                    flush(final=False)
             if self.config["oov_debug_skip_train"]:
                 break
+        if buf:
+            flush(final=True)
         self.variables = dict(extra_vars, params=params)
         self.opt_state = opt_state
         if losses:

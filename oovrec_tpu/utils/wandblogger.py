@@ -38,6 +38,13 @@ class WandbLogger:
     def log_eval_metrics(self, metrics, head: str = "eval") -> None:
         self.log_metrics(metrics, head)
 
+    def log_raw(self, payload: dict, commit: bool = True) -> None:
+        """Uncoerced wandb.log passthrough (string values allowed — the
+        reference logs `file_backup_medium: 'gcs'|'nfs'|'local'` this way,
+        `src/run_recbole.py:130,143,159`)."""
+        if self.setup_complete:
+            self._wandb.log(payload, commit=commit)
+
     def alert(self, title: str, text: str) -> None:
         if self.setup_complete:
             self._wandb.alert(title=title, text=text)

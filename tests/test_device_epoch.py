@@ -505,3 +505,68 @@ def test_device_epoch_dhe_padded_halves_bit_exact():
     lo_h, hi_h = split_ids(ids + prime_pad)
     assert (np.asarray(plo, np.uint32) == lo_h.view(np.uint32)).all()
     assert (np.asarray(phi, np.uint32) == hi_h.view(np.uint32)).all()
+
+
+def test_popularity_device_epoch_engages(tmp_path):
+    """Popularity negative sampling (`ref:sampler.py:78-99`,
+    counts**alpha) rides the device fast path as an inverse-CDF draw:
+    the epoch program carries cumsum(pop_p) and draws via searchsorted
+    (round-4 eligibility widening)."""
+    cfg = _cfg(
+        device_epoch=True, checkpoint_dir=str(tmp_path),
+        train_neg_sample_args={
+            "distribution": "popularity", "sample_num": 1, "alpha": 1.0,
+        },
+    )
+    res = run(config_dict=cfg, saved=False)
+    trainer = res["trainer"]
+    assert getattr(trainer, "_device_epochs", None), (
+        "popularity config did not engage the device epoch"
+    )
+    de = next(iter(trainer._device_epochs.values()))
+    assert de.pop_cdf is not None
+    assert np.isfinite(float(res["test_result"]["ndcg@5"]))
+    np.testing.assert_allclose(float(np.asarray(de.pop_cdf)[-1]), 1.0,
+                               rtol=1e-5)
+
+
+def test_device_popularity_draw_matches_host_distribution():
+    """The inverse-CDF draw reproduces the host popularity distribution:
+    empirical frequencies over many draws track pop_p (chi-square-ish
+    tolerance), and PAD (item 0, pop_p=0) is never drawn."""
+    rng = np.random.default_rng(5)
+    counts = rng.integers(1, 50, size=32).astype(np.float64)
+    counts[0] = 0.0
+    p = counts / counts.sum()
+    cdf = jnp.asarray(np.cumsum(p).astype(np.float32))
+    key = jax.random.key(3)
+    u = jax.random.uniform(key, (200_000,))
+    draws = np.asarray(jnp.searchsorted(cdf, u, side="right"))
+    assert (draws > 0).all() and (draws < 32).all()
+    freq = np.bincount(draws, minlength=32) / len(draws)
+    np.testing.assert_allclose(freq, p, atol=5e-3)
+
+
+def test_pointwise_times4_device_epoch(tmp_path):
+    """times > 2 (3 negatives per positive) engages the widened pointwise
+    device epoch: columns tiled ×4, [pos ∥ negs] item layout, labels
+    [1,0,0,0] — finite metrics, comparable to the host path."""
+    from tests.test_context_models import _ranking_cfg
+
+    base = _ranking_cfg("WideDeep", epochs=2)
+    base["checkpoint_dir"] = str(tmp_path)
+    base["train_neg_sample_args"] = {
+        "distribution": "uniform", "sample_num": 3,
+    }
+    host = run(config_dict={**base, "device_epoch": False}, saved=False)
+    dev = run(config_dict={**base, "device_epoch": True}, saved=False)
+    assert getattr(dev["trainer"], "_device_epochs", None), (
+        "times=4 pointwise fast path did not activate"
+    )
+    de = next(iter(dev["trainer"]._device_epochs.values()))
+    assert de.times == 4
+    h, d = host["test_result"], dev["test_result"]
+    assert set(h) == set(d)
+    for k in d:
+        assert np.isfinite(float(d[k]))
+    assert abs(h["rmse"] - d["rmse"]) < 0.3
