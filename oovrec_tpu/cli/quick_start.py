@@ -79,6 +79,16 @@ def build_model_and_state(config, dataset, mode: str = "transductive",
             n_items=n_items,
             embedding_size=int(config.get("embedding_size", 64)),
         )
+        # explicit row-sharded lookup (`sharded_lookup: psum|alltoall|
+        # auto`): hand the model the mesh so `_embed_table` builds
+        # ShardedEmbed tables wired through the shard_map exchange
+        slk = config.get("sharded_lookup")
+        if slk and slk != "gspmd":
+            from oovrec_tpu.parallel.mesh import maybe_mesh_from_config
+
+            mesh = maybe_mesh_from_config(config)
+            if mesh is not None and mesh.shape["model"] > 1:
+                kwargs["sharded_mesh"] = mesh
         from oovrec_tpu.utils.enums import ModelType as _MT
 
         if getattr(cls, "model_type", None) == _MT.SEQUENTIAL:

@@ -36,18 +36,25 @@ def oov_embedding(
     side: str,                      # 'user' | 'item'
     ids: jnp.ndarray,               # (B,) raw ids (feature-matrix rows)
     buckets: Optional[jnp.ndarray], # (B,) host-hashed mapper buckets
-    iv_table: jnp.ndarray,          # (n_vocab, D)
+    iv_table: Optional[jnp.ndarray],  # (n_vocab, D); None with a sharded
+                                    # IV lookup unless the embedder needs
+                                    # the dense table (mean/knn)
     bucket_table: Optional[jnp.ndarray],  # (n_buckets, D) or None
     estate: Dict[str, jnp.ndarray],
     mlp_apply=None,                 # callable(feats_or_hashes) for dnn/dhe/fdhe
     dhe_hashes: Optional[jnp.ndarray] = None,  # (B, num_hashes) f32
+    out_dim: Optional[int] = None,  # D when iv_table is None
 ) -> jnp.ndarray:
     """Compute the OOV embedding for every row (selection happens later)."""
     emb = spec.embedder
+    if iv_table is not None:
+        out_dim, dt = iv_table.shape[1], iv_table.dtype
+    else:
+        dt = bucket_table.dtype if bucket_table is not None else jnp.float32
     if emb is None:
         return bucket_table[buckets]
     if emb == "zero":
-        return jnp.zeros((ids.shape[0], iv_table.shape[1]), iv_table.dtype)
+        return jnp.zeros((ids.shape[0], out_dim), dt)
     if emb == "mean":
         m = jax.lax.stop_gradient(jnp.mean(iv_table, axis=0))
         return jnp.broadcast_to(m, (ids.shape[0], iv_table.shape[1]))
@@ -86,20 +93,30 @@ def route(
     ids: jnp.ndarray,
     oov_flags: Optional[jnp.ndarray],
     buckets: Optional[jnp.ndarray],
-    iv_table: jnp.ndarray,
+    iv_table: Optional[jnp.ndarray],
     bucket_table: Optional[jnp.ndarray] = None,
     estate: Optional[Dict[str, jnp.ndarray]] = None,
     mlp_apply=None,
     dhe_hashes: Optional[jnp.ndarray] = None,
+    iv_lookup=None,
+    iv_vocab: Optional[int] = None,
+    out_dim: Optional[int] = None,
 ) -> jnp.ndarray:
     """IV/OOV-routed embedding lookup.
 
     `oov = flag | (id >= n_vocab)`; IV side clips ids into the table (the
-    clipped rows are discarded by the select).
+    clipped rows are discarded by the select). With `iv_lookup` (the
+    explicit row-sharded exchange, parallel/sharded_embedding.ShardedEmbed)
+    the IV gather goes through the callable instead of a dense table;
+    `iv_table` is then only required for embedders that read the whole
+    table (mean/knn) and may otherwise be None.
     """
-    n_vocab = iv_table.shape[0]
+    n_vocab = iv_vocab if iv_lookup is not None else iv_table.shape[0]
+    gather = iv_lookup if iv_lookup is not None else (
+        lambda c: iv_table[c]
+    )
     if spec is None or not spec.active:
-        return iv_table[ids]
+        return gather(ids)
     is_oov = ids >= n_vocab
     if oov_flags is not None:
         is_oov = is_oov | (oov_flags > 0)
@@ -109,10 +126,14 @@ def route(
         # an id exceeds the vocab — bucket 0 is a safe placeholder.
         buckets = jnp.zeros_like(ids)
     if spec.embedder in ("dhe", "fdhe") and dhe_hashes is None:
-        dhe_hashes = jnp.zeros((ids.shape[0], spec.dhe_num_hashes), iv_table.dtype)
-    iv_e = iv_table[jnp.clip(ids, 0, n_vocab - 1)]
+        dhe_hashes = jnp.zeros(
+            (ids.shape[0], spec.dhe_num_hashes),
+            iv_table.dtype if iv_table is not None else jnp.float32,
+        )
+    iv_e = gather(jnp.clip(ids, 0, n_vocab - 1))
     oov_e = oov_embedding(
         spec, side, ids, buckets, iv_table, bucket_table, estate or {},
         mlp_apply=mlp_apply, dhe_hashes=dhe_hashes,
+        out_dim=out_dim if out_dim is not None else iv_e.shape[-1],
     )
     return jnp.where(is_oov[:, None], oov_e.astype(iv_e.dtype), iv_e)

@@ -59,6 +59,34 @@ class GeneralRecommender(nn.Module):
     iid_field: str = "item_id"
     label_field: str = "label"
     neg_prefix: str = "neg_"
+    # explicit row-sharded lookup (config `sharded_lookup`): 'gspmd' keeps
+    # annotate-only sharding; 'psum'/'alltoall'/'auto' route big ID tables
+    # through the shard_map exchange (parallel/sharded_embedding)
+    sharded_lookup: str = "gspmd"
+    sharded_mesh: Any = None
+    row_shard_threshold: int = 4096
+
+    def _embed_table(self, vocab: int, name: str):
+        """nn.Embed, or ShardedEmbed (mod-sharded layout + explicit
+        exchange) when `sharded_lookup != 'gspmd'` under an active mesh
+        and the table crosses the row-shard threshold."""
+        if (
+            self.sharded_mesh is not None
+            and self.sharded_lookup not in ("gspmd", None)
+            and self.sharded_mesh.shape.get("model", 1) > 1
+            and vocab >= self.row_shard_threshold
+        ):
+            from oovrec_tpu.parallel.sharded_embedding import ShardedEmbed
+
+            return ShardedEmbed(
+                num_embeddings=vocab, features=self.embedding_size,
+                mesh=self.sharded_mesh, kind=self.sharded_lookup,
+                embedding_init=xavier_normal, name=name,
+            )
+        return nn.Embed(
+            vocab, self.embedding_size,
+            embedding_init=xavier_normal, name=name,
+        )
 
     def _setup_oov(self):
         """Create OOV bucket tables / embedder MLPs per the spec
@@ -83,8 +111,12 @@ class GeneralRecommender(nn.Module):
                 spec.dhe_layer_size, self.embedding_size, name="item_oov_mlp"
             )
 
-    def _route_side(self, side: str, iv_table, ids, batch: Batch, estate,
+    def _route_side(self, side: str, iv, ids, batch: Batch, estate,
                     field: str):
+        """`iv` may be a dense (V, D) table (the historical API), an
+        nn.Embed, or a ShardedEmbed — the latter routes the IV gather
+        through the explicit row-sharded exchange and only densifies for
+        embedders that read the whole table (mean/knn)."""
         spec = self.spec
         flags = batch.get(field + "_oov") if spec and spec.active else None
         buckets = batch.get(field + "_bucket") if spec and spec.active else None
@@ -104,9 +136,23 @@ class GeneralRecommender(nn.Module):
                 )
             if spec.embedder in ("dhe", "fdhe"):
                 dhe = dhe_hashes_for(batch, field, estate)
+        iv_lookup = iv_vocab = None
+        iv_table = iv
+        from oovrec_tpu.parallel.sharded_embedding import ShardedEmbed
+
+        if isinstance(iv, ShardedEmbed):
+            iv_lookup, iv_vocab = iv, iv.num_embeddings
+            needs_dense = bool(
+                spec and spec.active and spec.embedder in ("mean", "knn")
+            )
+            iv_table = iv.dense() if needs_dense else None
+        elif isinstance(iv, nn.Embed):
+            iv_table = iv.embedding
         return route(
             spec, side, ids, flags, buckets, iv_table, bucket_table,
             estate, mlp_apply=mlp, dhe_hashes=dhe,
+            iv_lookup=iv_lookup, iv_vocab=iv_vocab,
+            out_dim=self.embedding_size,
         )
 
     # Methods models must provide:

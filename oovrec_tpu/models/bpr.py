@@ -26,25 +26,25 @@ class BPR(GeneralRecommender):
     supports_device_epoch = True
 
     def setup(self):
-        self.user_embedding = nn.Embed(
-            self.n_users, self.embedding_size,
-            embedding_init=xavier_normal, name="user_embedding",
+        # _embed_table: nn.Embed, or the explicit row-sharded exchange
+        # (ShardedEmbed) when `sharded_lookup != 'gspmd'` under a mesh
+        self.user_embedding = self._embed_table(
+            self.n_users, "user_embedding"
         )
-        self.item_embedding = nn.Embed(
-            self.n_items, self.embedding_size,
-            embedding_init=xavier_normal, name="item_embedding",
+        self.item_embedding = self._embed_table(
+            self.n_items, "item_embedding"
         )
         self._setup_oov()
 
     def user_e(self, ids, batch: Batch, estate=None):
         return self._route_side(
-            "user", self.user_embedding.embedding, ids, batch, estate,
+            "user", self.user_embedding, ids, batch, estate,
             self.uid_field,
         )
 
     def item_e(self, ids, batch: Batch, estate=None, field=None):
         return self._route_side(
-            "item", self.item_embedding.embedding, ids, batch, estate,
+            "item", self.item_embedding, ids, batch, estate,
             field or self.iid_field,
         )
 

@@ -72,7 +72,7 @@ def param_sharding(
     """Pytree of NamedShardings: big tables row-sharded, rest replicated."""
     n_model = mesh.shape["model"]
 
-    def rule(p):
+    def rule(path, p):
         if (
             n_model > 1
             and hasattr(p, "ndim")
@@ -81,9 +81,20 @@ def param_sharding(
             and p.shape[0] % n_model == 0
         ):
             return NamedSharding(mesh, P("model", None))
+        leaf = path[-1].key if path and hasattr(path[-1], "key") else ""
+        if (
+            n_model > 1
+            and leaf == "embedding_sharded"
+            and hasattr(p, "ndim")
+            and p.ndim == 3
+            and p.shape[0] == n_model
+        ):
+            # ShardedEmbed's (S, V/S, D) mod-sharded layout: axis 0 IS
+            # the model axis (parallel/sharded_embedding.py)
+            return NamedSharding(mesh, P("model", None, None))
         return NamedSharding(mesh, P())
 
-    return jax.tree.map(rule, params)
+    return jax.tree_util.tree_map_with_path(rule, params)
 
 
 def batch_sharding(mesh: Mesh, batch):

@@ -20,7 +20,9 @@ that moves B·D/S — noted for when S is large enough to matter).
 
 from __future__ import annotations
 
+from typing import Any
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -169,6 +171,63 @@ def place_sharded_table(mesh: Mesh, table: np.ndarray) -> jax.Array:
     return jax.device_put(
         layout, NamedSharding(mesh, P("model", None, None))
     )
+
+
+class ShardedEmbed(nn.Module):
+    """Production flax twin of `nn.Embed` holding its table in the
+    mod-sharded (S, V_pad/S, D) layout and looking rows up through the
+    explicit shard_map exchange (`make_lookup`, config key
+    `sharded_lookup: psum|alltoall|auto`). Dense row r of the logical
+    (V, D) table lives at [r % S, r // S]; `dense()` reassembles the
+    logical table (one transpose-reshape — GSPMD inserts the all-gather)
+    for consumers that need the whole table (full-sort eval, mean/knn
+    embedders)."""
+
+    num_embeddings: int
+    features: int
+    mesh: Mesh
+    kind: str = "auto"            # psum | alltoall | auto (S>=4 → alltoall)
+    embedding_init: Any = None
+
+    def setup(self):
+        S = self.mesh.shape["model"]
+        rows = -(-self.num_embeddings // S)
+        init = self.embedding_init
+        if init is None:
+            init = nn.initializers.normal(stddev=0.02)
+        # i.i.d. row init → initializing directly in sharded layout is
+        # distribution-identical to initializing dense then resharding
+        self.embedding_sharded = self.param(
+            "embedding_sharded", init, (S, rows, self.features)
+        )
+
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        flat = ids.reshape(-1)
+        # the exchange partitions ids over 'data' and (alltoall) slices
+        # each block over 'model' — pad to a whole-mesh multiple
+        m = self.mesh.shape["data"] * self.mesh.shape["model"]
+        pad = (-flat.shape[0]) % m
+        if pad:
+            flat = jnp.concatenate([flat, jnp.zeros(pad, flat.dtype)])
+        out = make_lookup(self.mesh, self.kind)(
+            self.embedding_sharded, flat
+        )
+        if pad:
+            out = out[: ids.size]
+        return out.reshape(ids.shape + (self.features,))
+
+    def dense(self) -> jnp.ndarray:
+        """Logical (V, D) table: reshape index i*S+s ↔ row r with
+        s = r % S, i = r // S — exactly `from_sharded_layout`."""
+        S, rows, D = self.embedding_sharded.shape
+        return jnp.transpose(self.embedding_sharded, (1, 0, 2)).reshape(
+            S * rows, D
+        )[: self.num_embeddings]
+
+    @property
+    def embedding(self) -> jnp.ndarray:
+        """`nn.Embed.embedding` drop-in for dense consumers."""
+        return self.dense()
 
 
 def make_lookup(mesh: Mesh, kind: str = "auto",
