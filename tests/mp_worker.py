@@ -133,6 +133,59 @@ def scenario_eval(outdir: str, pid: int, mode: str = "full") -> dict:
     }
 
 
+def scenario_train_model_axis(outdir: str, pid: int) -> dict:
+    """Model-axis sharding ACROSS processes (round-4 VERDICT #6): mesh
+    {'data': 2, 'model': 4} over 2 processes × 4 devices with row-sharded
+    OOV bucket tables (> row_shard_threshold). Every model-axis shard of
+    a table is replicated over the process-spanning 'data' axis, so table
+    state + gradient psums cross the host boundary each step — the
+    multi-host large-vocabulary topology. Trains + evaluates + round-trips
+    a SHARED checkpoint (rank 0 writes, both ranks resume)."""
+    from oovrec_tpu.cli.quick_start import run
+
+    cfg = base_cfg(outdir, pid)
+    cfg.update({
+        "dataset": "toy-ind",
+        "load_col": {
+            "inter": ["user_id", "item_id", "rating", "timestamp",
+                      "is_new"],
+            "user": ["user_id", "age", "gender"],
+            "item": ["item_id", "price", "category"],
+        },
+        "inductive_mapper": "random",
+        "add_oov_buckets": True,
+        "n_user_oov_buckets": 8,
+        "n_item_oov_buckets": 8,
+        "train_oov": True,
+        "oov_only_epoch": True,
+        "oov_train_ratio": 0.8,
+        "mesh": {"data": 2, "model": 4},
+        "row_shard_threshold": 4,   # 8-row bucket tables row-shard
+        "device_epoch": True,
+        # shared dir: rank 0 writes, BOTH ranks resume the same file
+        "checkpoint_dir": os.path.join(outdir, "ckpt_shared"),
+    })
+    res = run(config_dict=cfg, saved=True)
+    trainer = res["trainer"]
+    tbl = trainer.variables["params"]["item_oov_buckets"]["embedding"]
+    shard_procs = {d.process_index for d in tbl.sharding.device_set}
+    # checkpoint round-trip on BOTH ranks (mesh re-commit is collective)
+    state = trainer.resume_checkpoint(trainer.saved_model_file)
+    return {
+        "losses": {
+            str(k): float(v) for k, v in trainer.train_loss_dict.items()
+        },
+        "test_result": {
+            k: float(v) for k, v in (res["test_result"] or {}).items()
+        },
+        "table_sharded": not tbl.sharding.is_fully_replicated,
+        "table_span_processes": sorted(shard_procs),
+        "mesh_shape": dict(trainer.mesh.shape),
+        "resumed_model": state["config"]["model"],
+        "ckpt_exists": os.path.isfile(trainer.saved_model_file),
+    }
+
+
 def main() -> None:
     pid, nprocs, port, scenario, outdir = (
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
@@ -164,6 +217,7 @@ def main() -> None:
         out.update(
             {"loader": scenario_loader,
              "train": scenario_train,
+             "train_model": scenario_train_model_axis,
              "eval": scenario_eval}[scenario](outdir, pid)
         )
     with open(os.path.join(outdir, f"worker_{scenario}_{pid}.json"), "w") as f:

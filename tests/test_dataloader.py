@@ -158,3 +158,44 @@ def test_features_joined_into_batches():
     uf = ds.get_user_feature()
     w = b["weight"] > 0
     np.testing.assert_array_equal(b["age"][w], uf["age"][b["user_id"][w]])
+
+
+def test_uni_eval_vectorized_matches_reference_loop():
+    """The vectorized uniN batch assembly (NegSampleEvalBatcher.__iter__)
+    must equal the per-user-loop oracle (_iter_reference) batch-for-batch
+    — same expansion order, same per-user seeded candidates, same pads."""
+    import numpy as np
+    from oovrec_tpu.config import Config
+    from oovrec_tpu.data.utils import create_dataset, data_preparation
+
+    from tests.test_dataset import ASSETS
+
+    cfg = Config(config_dict={
+        "model": "BPR",
+        "dataset": "toy",
+        "data_path": ASSETS,
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+        "eval_batch_size": 16,  # forces several row-budget groups
+        "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "TO",
+                      "group_by": "user", "mode": "uni7"},
+    })
+    ds = create_dataset(cfg)
+    _, valid_loader, test_loader = data_preparation(cfg, ds)
+    for loader in (valid_loader, test_loader):
+        fast = list(loader)
+        loader._neg_cache = {}  # oracle draws fresh; cache must not leak
+        slow = list(loader._iter_reference())
+        assert len(fast) == len(slow) and len(fast) > 1
+        for bf, bs in zip(fast, slow):
+            assert set(bf) == set(bs)
+            for k in bs:
+                np.testing.assert_array_equal(
+                    np.asarray(bf[k]), np.asarray(bs[k]), err_msg=k
+                )
+        # second pass hits the candidate cache — still identical
+        again = list(loader)
+        for bf, ba in zip(fast, again):
+            for k in bf:
+                np.testing.assert_array_equal(
+                    np.asarray(bf[k]), np.asarray(ba[k]), err_msg=k
+                )
