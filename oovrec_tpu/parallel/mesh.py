@@ -198,8 +198,19 @@ def host_copy(tree):
 def local_rows(arr) -> np.ndarray:
     """This process's rows of a leading-axis-sharded global array, in
     shard order — what the local metric collector consumes before the
-    cross-process map-reduce."""
+    cross-process map-reduce. Shards replicated over a second mesh axis
+    (e.g. rows 'data'-sharded, 'model'-replicated) appear once per local
+    device with the SAME index range — deduplicate by range or every row
+    comes back model-axis-many times."""
     if not isinstance(arr, jax.Array) or arr.is_fully_addressable:
         return np.asarray(arr)
     shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start or 0)
-    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    seen = set()
+    parts = []
+    for s in shards:
+        key = tuple((sl.start, sl.stop) for sl in s.index)
+        if key in seen:
+            continue
+        seen.add(key)
+        parts.append(np.asarray(s.data))
+    return np.concatenate(parts, axis=0)

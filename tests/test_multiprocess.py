@@ -181,3 +181,61 @@ def test_two_process_eval_map_reduce(tmp_path):
     )
     for k, v in uni_base.items():
         assert u0["test_result"][k] == pytest.approx(float(v), abs=1e-6), k
+
+
+def test_two_process_model_axis_sharding(tmp_path):
+    """Row-sharded tables on a mesh whose 'data' axis SPANS the two
+    processes (round-4 VERDICT #6): mesh {'data': 2, 'model': 4}, 8-row
+    OOV bucket tables sharded over 'model' with each shard replicated
+    across the process-spanning 'data' axis — training, eval, and a
+    shared-checkpoint round-trip all cross the host boundary. Metrics
+    must equal the single-process 8-device run of the identical config."""
+    from oovrec_tpu.cli.quick_start import run
+    from tests.mp_worker import scenario_train_model_axis  # noqa: F401
+
+    r0, r1 = _run_workers("train_model", str(tmp_path), timeout=900)
+
+    for r in (r0, r1):
+        assert r["mesh_shape"] == {"data": 2, "model": 4}
+        assert r["table_sharded"], "bucket table was not row-sharded"
+        assert r["table_span_processes"] == [0, 1], (
+            "table shards did not span both processes"
+        )
+        assert r["resumed_model"] == "BPR"
+    assert r0["losses"] == pytest.approx(r1["losses"])
+    assert r0["test_result"] == pytest.approx(r1["test_result"])
+
+    # single-process baseline: same config, same mesh shape, 8 devices
+    # in THIS process (conftest)
+    from tests.mp_worker import base_cfg
+
+    cfg = base_cfg(str(tmp_path), 7)
+    cfg.update({
+        "dataset": "toy-ind",
+        "load_col": {
+            "inter": ["user_id", "item_id", "rating", "timestamp",
+                      "is_new"],
+            "user": ["user_id", "age", "gender"],
+            "item": ["item_id", "price", "category"],
+        },
+        "inductive_mapper": "random",
+        "add_oov_buckets": True,
+        "n_user_oov_buckets": 8,
+        "n_item_oov_buckets": 8,
+        "train_oov": True,
+        "oov_only_epoch": True,
+        "oov_train_ratio": 0.8,
+        "mesh": {"data": 2, "model": 4},
+        "row_shard_threshold": 4,
+        "device_epoch": True,
+    })
+    res = run(config_dict=cfg, saved=False)
+    base_losses = {str(k): float(v)
+                   for k, v in res["trainer"].train_loss_dict.items()}
+    assert set(r0["losses"]) == set(base_losses)
+    for k, v in base_losses.items():
+        assert r0["losses"][k] == pytest.approx(v, rel=1e-4), (
+            f"epoch {k} loss diverged: 2-proc {r0['losses'][k]} vs 1-proc {v}"
+        )
+    for k, v in res["test_result"].items():
+        assert r0["test_result"][k] == pytest.approx(float(v), abs=1e-6), k
