@@ -46,13 +46,15 @@ def oov_embedding(
     out_dim: Optional[int] = None,  # D when iv_table is None
 ) -> jnp.ndarray:
     """Compute the OOV embedding for every row (selection happens later)."""
+    from oovrec_tpu.ops.embed_grad import gather_rows
+
     emb = spec.embedder
     if iv_table is not None:
         out_dim, dt = iv_table.shape[1], iv_table.dtype
     else:
         dt = bucket_table.dtype if bucket_table is not None else jnp.float32
     if emb is None:
-        return bucket_table[buckets]
+        return gather_rows(bucket_table, buckets)
     if emb == "zero":
         return jnp.zeros((ids.shape[0], out_dim), dt)
     if emb == "mean":
@@ -111,9 +113,13 @@ def route(
     `iv_table` is then only required for embedders that read the whole
     table (mean/knn) and may otherwise be None.
     """
+    from oovrec_tpu.ops.embed_grad import gather_rows
+
     n_vocab = iv_vocab if iv_lookup is not None else iv_table.shape[0]
     gather = iv_lookup if iv_lookup is not None else (
-        lambda c: iv_table[c]
+        # one-hot-matmul backward: the dense scatter-add grads of the IV
+        # tables were ~30% of the profiled BPR step (EXPERIMENTS round 4)
+        lambda c: gather_rows(iv_table, c)
     )
     if spec is None or not spec.active:
         return gather(ids)

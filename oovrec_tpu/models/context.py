@@ -215,7 +215,16 @@ class _FieldEmbedding(nn.Module):
         )  # (B, F)
         n_vocab = jnp.asarray(np.array(f.token_dims, np.int32))
         safe = jnp.minimum(ids, n_vocab[None, :] - 1)
-        emb = self.token_table(safe + offsets[None, :])  # (B, F, dim)
+        # packed_gather: field-split backward — small-vocab fields route
+        # their grads through a one-hot matmul instead of contributing
+        # rows to XLA's serialized (70 ns/row) scatter-add, which was the
+        # CTR step's largest single cost (EXPERIMENTS round 4)
+        from oovrec_tpu.ops.embed_grad import packed_gather
+
+        emb = packed_gather(
+            self.token_table.embedding, safe + offsets[None, :],
+            f.token_dims, f.token_offsets,
+        )  # (B, F, dim)
 
         spec = self.spec
         if spec is not None and spec.active:
@@ -261,7 +270,11 @@ class _FieldEmbedding(nn.Module):
             ],
             axis=1,
         ).astype(jnp.int32)
-        emb = self.float_table(buckets + offsets[None, :])
+        from oovrec_tpu.ops.embed_grad import gather_rows
+
+        emb = gather_rows(
+            self.float_table.embedding, buckets + offsets[None, :]
+        )
         return values[..., None] * emb  # (B, F, dim)
 
     def embed_token_seq_fields(self, batch: Batch, mode="mean"):

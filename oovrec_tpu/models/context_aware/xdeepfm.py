@@ -4,7 +4,7 @@ axis) + MLP + first-order linear, BCE-with-logits + L2 reg."""
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -14,6 +14,30 @@ from oovrec_tpu.models.context import ContextRecommender
 from oovrec_tpu.models.init import xavier_normal
 from oovrec_tpu.models.layers import MLPLayers
 from oovrec_tpu.models.losses import bce_with_logits
+
+
+class CinConv(nn.Module):
+    """Per-layer CIN conv parameters (kernel (H·F, L), bias (L,)) — the
+    same param tree as the nn.Dense it replaces (checkpoints and torch
+    imports are layout-identical). `__call__` is the XLA fallback; the
+    fused path reads `.kernel`/`.bias` and runs ops/cin_fused.cin_layer."""
+
+    in_features: int
+    features: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", xavier_normal, (self.in_features, self.features)
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,)
+        )
+
+    def __call__(self, x):
+        from oovrec_tpu.utils.precision import compute_dtype
+
+        dt = compute_dtype()
+        return x.astype(dt) @ self.kernel.astype(dt) + self.bias.astype(dt)
 
 
 @register_model
@@ -26,6 +50,9 @@ class xDeepFM(ContextRecommender):
     dropout_prob: float = 0.2
     direct: bool = False
     cin_layer_size: Tuple[int, ...] = (100, 100, 100)
+    # 'auto' runs the fused Pallas CIN (ops/cin_fused.py) on TPU — same
+    # math, no Hadamard-slab HBM round-trip; False forces the XLA path
+    fused_cin: Any = "auto"
 
     def setup(self):
         # non-direct mode halves intermediate layers to even sizes
@@ -35,15 +62,13 @@ class xDeepFM(ContextRecommender):
             cin = [int(x // 2 * 2) for x in cin]
         self._cin_sizes = tuple(cin)
 
-        from oovrec_tpu.utils.precision import compute_dtype
-
         field_nums = [self.fields.num_feature_field]
         convs = []
         for i, layer_size in enumerate(self._cin_sizes):
             convs.append(
-                nn.Dense(
-                    layer_size, kernel_init=xavier_normal,
-                    dtype=compute_dtype(), name=f"conv1d_{i}"
+                CinConv(
+                    field_nums[0] * field_nums[i], layer_size,
+                    name=f"conv1d_{i}",
                 )
             )
             field_nums.append(
@@ -63,17 +88,54 @@ class xDeepFM(ContextRecommender):
         )
         self._setup_context()
 
+    def _use_fused_cin(self) -> bool:
+        if self.fused_cin is False or self.fused_cin == "false":
+            return False
+        if self.fused_cin is True or self.fused_cin == "true":
+            return True
+        import jax
+
+        return jax.devices()[0].platform == "tpu"
+
     def compressed_interaction_network(self, x, activation="relu"):
         """(B, F, D) → (B, final_len): pairwise Hadamard feature maps,
         1×1 conv over the pair axis (== Dense on axis 1), sum-pool over D
         (`xdeepfm.py:134-193`). Computes in the global precision policy
         (utils/precision.py): with `compute_dtype: bfloat16` the Hadamard
-        slabs and pair-axis matmuls run bf16 (fp32 accumulate on the MXU),
-        halving the CIN's HBM traffic; the pooled output returns fp32."""
+        slabs and pair-axis matmuls run bf16 (fp32 accumulate on the MXU).
+
+        On TPU (`fused_cin: auto`) each layer runs the fused Pallas kernel
+        (ops/cin_fused.py): batch-minor layout, the Hadamard slab lives
+        only in VMEM — the profiled XLA path spent ~2/3 of the step
+        round-tripping that slab through HBM."""
         from oovrec_tpu.utils.precision import compute_dtype
 
         dt = compute_dtype()
         b, _, d = x.shape
+        if self._use_fused_cin():
+            from oovrec_tpu.ops.cin_fused import cin_layer
+
+            # kernel I/O rides f32 (Mosaic bf16 layout limits); the MXU
+            # dots inside run in the policy dtype
+            xb = x.astype(jnp.float32).transpose(1, 2, 0)  # (F, D, B)
+            hidden = xb
+            finals = []
+            for i, _layer_size in enumerate(self._cin_sizes):
+                conv = self.conv1d_list[i]
+                out = cin_layer(
+                    hidden, xb, conv.kernel, conv.bias, mxu_dtype=dt,
+                )                                      # (L, D, B)
+                if self.direct:
+                    direct_connect, next_hidden = out, out
+                elif i != len(self._cin_sizes) - 1:
+                    next_hidden, direct_connect = jnp.split(out, 2, axis=0)
+                else:
+                    direct_connect, next_hidden = out, None
+                finals.append(direct_connect)
+                hidden = next_hidden
+            result = jnp.concatenate(finals, axis=0)   # (ΣL, D, B)
+            return jnp.sum(result.astype(jnp.float32), axis=1).T
+
         hidden = [x.astype(dt)]
         finals = []
         for i, layer_size in enumerate(self._cin_sizes):

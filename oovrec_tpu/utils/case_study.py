@@ -14,7 +14,7 @@ def full_sort_scores(uid_list, model, variables, estate=None,
     scores = model.apply(
         variables, batch, estate or {}, method=model.full_sort_scores
     )
-    scores = np.asarray(scores)
+    scores = np.array(scores)  # mutable copy: np.asarray of a jax array is read-only
     scores[:, 0] = -np.inf
     if hist_per_user is not None:
         for i, u in enumerate(uid_list):

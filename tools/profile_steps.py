@@ -26,10 +26,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _parse_trace(trace_dir: str):
-    """Aggregate device-lane event durations from the newest perfetto
-    trace under `trace_dir` → {op_name: total_us}, total_us."""
+    """Aggregate per-HLO device spans from the newest trace under
+    `trace_dir`. Only events carrying an `hlo_category` arg are real HLO
+    executions; the `while` wrapper span (which CONTAINS the scan body's
+    ops) is excluded to avoid double counting. Returns
+    (per_op, per_source, per_category, total_us)."""
     paths = sorted(
-        glob.glob(os.path.join(trace_dir, "**", "trace.json.gz"),
+        glob.glob(os.path.join(trace_dir, "**", "*trace.json.gz"),
                   recursive=True),
         key=os.path.getmtime,
     )
@@ -38,74 +41,54 @@ def _parse_trace(trace_dir: str):
     with gzip.open(paths[-1], "rt") as f:
         data = json.load(f)
     events = data.get("traceEvents", [])
-    # device lanes: pid whose process_name mentions TPU/device XLA Ops
-    dev_pids = set()
-    tid_names = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            n = e.get("args", {}).get("name", "")
-            if "TPU" in n or "/device:" in n or "Device" in n:
-                dev_pids.add(e["pid"])
-        if e.get("ph") == "M" and e.get("name") == "thread_name":
-            tid_names[(e["pid"], e["tid"])] = e.get(
-                "args", {}).get("name", "")
     per_op = {}
+    per_source = {}
+    per_cat = {}
     total = 0.0
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+        if e.get("ph") != "X":
             continue
-        lane = tid_names.get((e["pid"], e["tid"]), "")
-        # "XLA Ops" lanes carry per-HLO spans; skip step/module summary rows
-        if "XLA Ops" not in lane:
+        args = e.get("args") or {}
+        cat = args.get("hlo_category")
+        if cat is None or e.get("name") == "while":
             continue
         dur = float(e.get("dur", 0.0))
         name = e.get("name", "?")
-        per_op[name] = per_op.get(name, 0.0) + dur
+        rec = per_op.setdefault(
+            name, {"us": 0.0, "count": 0, "category": cat,
+                   "source": args.get("source", ""),
+                   "flops": float(args.get("model_flops", 0) or 0),
+                   "bytes": float(args.get("bytes_accessed", 0) or 0),
+                   "long_name": (args.get("long_name") or "")[:160]},
+        )
+        rec["us"] += dur
+        rec["count"] += 1
+        src = args.get("source", "?")
+        per_source[src] = per_source.get(src, 0.0) + dur
+        per_cat[cat] = per_cat.get(cat, 0.0) + dur
         total += dur
-    return per_op, total
+    return per_op, per_source, per_cat, total
 
 
-_CATEGORY_RULES = (
-    ("fusion", "fusion"),
-    ("convolution", "conv/matmul"),
-    ("dot", "conv/matmul"),
-    ("scatter", "scatter"),
-    ("gather", "gather"),
-    ("dynamic-update-slice", "dus"),
-    ("dynamic-slice", "ds"),
-    ("all-reduce", "collective"),
-    ("copy", "copy/transpose"),
-    ("transpose", "copy/transpose"),
-    ("reduce", "reduce"),
-    ("custom-call", "custom-call"),
-)
-
-
-def _category(op: str) -> str:
-    low = op.lower()
-    for key, cat in _CATEGORY_RULES:
-        if key in low:
-            return cat
-    return "other"
-
-
-def summarize(trace_dir: str, top: int = 20):
-    per_op, total = _parse_trace(trace_dir)
-    ops = sorted(per_op.items(), key=lambda kv: -kv[1])
-    cats = {}
-    for op, us in per_op.items():
-        c = _category(op)
-        cats[c] = cats.get(c, 0.0) + us
+def summarize(trace_dir: str, top: int = 15):
+    per_op, per_source, per_cat, total = _parse_trace(trace_dir)
+    ops = sorted(per_op.items(), key=lambda kv: -kv[1]["us"])
     return {
         "total_device_us": round(total, 1),
         "by_category": {
             k: {"us": round(v, 1), "pct": round(100 * v / max(total, 1e-9), 1)}
-            for k, v in sorted(cats.items(), key=lambda kv: -kv[1])
+            for k, v in sorted(per_cat.items(), key=lambda kv: -kv[1])
+        },
+        "by_source": {
+            k: {"us": round(v, 1), "pct": round(100 * v / max(total, 1e-9), 1)}
+            for k, v in sorted(per_source.items(), key=lambda kv: -kv[1])[:top]
         },
         "top_ops": [
-            {"op": op, "us": round(us, 1),
-             "pct": round(100 * us / max(total, 1e-9), 1)}
-            for op, us in ops[:top]
+            {"op": op, "us": round(r["us"], 1),
+             "pct": round(100 * r["us"] / max(total, 1e-9), 1),
+             "count": r["count"], "category": r["category"],
+             "source": r["source"], "long_name": r["long_name"]}
+            for op, r in ops[:top]
         ],
     }
 

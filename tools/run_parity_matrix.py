@@ -26,9 +26,8 @@ import sys
 
 SEEDS = (2020, 2021, 2022)
 
-CONFIGS = {
-    # EXPERIMENTS.md round-1 configs: zero baseline (no OOV training) and
-    # the paper's lsh + buckets + OOV-epoch regime
+# embedder flag sets (shared across model rows)
+_EMB = {
     "zero": {
         "ours": ["--inductive_embedder=zero"],
         "ref": ["--embedder=zero", "--mapper="],
@@ -44,30 +43,93 @@ CONFIGS = {
             "--train_oov", "--oov_train_ratio=0.3", "--n_buckets=200",
         ],
     },
+    "slsh": {
+        "ours": [
+            "--inductive_embedder=slsh", "--add_oov_buckets=True",
+            "--n_user_oov_buckets=200", "--n_item_oov_buckets=200",
+            "--train_oov=True", "--oov_train_ratio=0.3",
+        ],
+        "ref": [
+            "--embedder=slsh", "--mapper=", "--add_oov_buckets",
+            "--train_oov", "--oov_train_ratio=0.3", "--n_buckets=200",
+        ],
+    },
+    "dhe": {
+        # 32 SipHash digests keep the CPU-side reference tractable
+        # (round-2 ranking-track convention)
+        "ours": [
+            "--inductive_embedder=dhe", "--train_oov=True",
+            "--oov_train_ratio=0.3", "--dhe_num_hashes=32",
+        ],
+        "ref": [
+            "--embedder=dhe", "--mapper=", "--train_oov",
+            "--oov_train_ratio=0.3", "--dhe_num_hashes=32",
+        ],
+    },
 }
 
-OURS_BASE = [
-    sys.executable, "-m", "oovrec_tpu.cli.run",
-    "--model=BPR", "--dataset=synth-ind", "--epochs=15",
+# matrix rows: (cell name, model, track). Round-4 VERDICT #4: >=4 model
+# rows x >=4 embedder configs. Retrieval rows run 15 epochs, ranking 8
+# (the round-1 protocol conventions). Cell names zero/lsh are the
+# round-2 BPR artifacts (kept for file-level reuse).
+CELLS = [
+    ("zero", "BPR", "retrieval", "zero"),
+    ("lsh", "BPR", "retrieval", "lsh"),
+    ("bpr_slsh", "BPR", "retrieval", "slsh"),
+    ("bpr_dhe", "BPR", "retrieval", "dhe"),
+    ("directau_zero", "DirectAU", "retrieval", "zero"),
+    ("directau_lsh", "DirectAU", "retrieval", "lsh"),
+    ("dcnv2_zero", "DCNV2", "ranking", "zero"),
+    ("dcnv2_lsh", "DCNV2", "ranking", "lsh"),
+    ("widedeep_slsh", "WideDeep", "ranking", "slsh"),
+    ("widedeep_dhe", "WideDeep", "ranking", "dhe"),
+]
+
+LOAD_COL = (
     "--load_col={'inter': ['user_id','item_id','timestamp','is_new'], "
     "'user': ['user_id','age','group','user_vector'], "
-    "'item': ['item_id','price','category','item_vector']}",
-    "--inductive_eval=True",
-]
-
-REF_BASE = [
-    sys.executable, "tools/run_reference_parity.py",
-    "--model=BPR", "--dataset=synth-ind", "--epochs=15",
-]
+    "'item': ['item_id','price','category','item_vector']}"
+)
 
 
-def run_all(outdir: str):
+def _ours_base(model: str, track: str):
+    cmd = [
+        sys.executable, "-m", "oovrec_tpu.cli.run",
+        f"--model={model}", "--dataset=synth-ind",
+        LOAD_COL, "--inductive_eval=True",
+        # our side runs CPU: parity jobs must not contend for (or die
+        # with) the TPU tunnel, and the ranking-track convention is
+        # CPU-vs-CPU (PARITY.md)
+        "--jax_platforms=cpu",
+    ]
+    if track == "ranking":
+        cmd += ["--model_eval_type=ranking", "--epochs=8"]
+    else:
+        cmd += ["--epochs=15"]
+    return cmd
+
+
+def _ref_base(model: str, track: str):
+    cmd = [
+        sys.executable, "tools/run_reference_parity.py",
+        f"--model={model}", "--dataset=synth-ind",
+    ]
+    if track == "ranking":
+        cmd += ["--model_eval_type=ranking", "--epochs=8"]
+    else:
+        cmd += ["--epochs=15"]
+    return cmd
+
+
+def run_all(outdir: str, only=None, seeds=SEEDS):
     os.makedirs(outdir, exist_ok=True)
-    for name, cfg in CONFIGS.items():
-        for seed in SEEDS:
+    for name, model, track, emb in CELLS:
+        if only and name not in only:
+            continue
+        for seed in seeds:
             for side, base, extra in (
-                ("ref", REF_BASE, cfg["ref"]),
-                ("ours", OURS_BASE, cfg["ours"]),
+                ("ref", _ref_base(model, track), _EMB[emb]["ref"]),
+                ("ours", _ours_base(model, track), _EMB[emb]["ours"]),
             ):
                 out = os.path.join(outdir, f"{side}_{name}_{seed}.json")
                 if os.path.isfile(out):
@@ -79,13 +141,15 @@ def run_all(outdir: str):
                     [f"--out={out}"] if side == "ref"
                     else [f"--results_json={out}"]
                 )
-                print("RUN", " ".join(cmd[2:6]), name, seed, side,
-                      flush=True)
-                with open(log, "w") as lf:
-                    rc = subprocess.run(
-                        cmd, stdout=lf, stderr=subprocess.STDOUT,
-                        timeout=2400,
-                    ).returncode
+                print("RUN", name, seed, side, flush=True)
+                try:
+                    with open(log, "w") as lf:
+                        rc = subprocess.run(
+                            cmd, stdout=lf, stderr=subprocess.STDOUT,
+                            timeout=3600,
+                        ).returncode
+                except subprocess.TimeoutExpired:
+                    rc = -9
                 if rc != 0 or not os.path.isfile(out):
                     print(f"FAILED ({rc}): see {log}", flush=True)
 
@@ -95,12 +159,13 @@ SLICES = ("overall", "old_users", "new_users", "old_old", "old_new",
 NONCOMPARABLE = {"old_new", "new_old"}
 
 
-def report(outdir: str, metric: str = "recall@20"):
+def report(outdir: str, metric: str = None):
     lines = [
-        f"| config | slice | reference ({metric}) | ours ({metric}) | Δ |",
+        "| config | slice | reference | ours | Δ |",
         "|---|---|---|---|---|",
     ]
-    for name in CONFIGS:
+    for name, model, track, emb in CELLS:
+        m = metric or ("recall@20" if track == "retrieval" else "rmse")
         vals = {"ref": {}, "ours": {}}
         for side in vals:
             for seed in SEEDS:
@@ -110,7 +175,7 @@ def report(outdir: str, metric: str = "recall@20"):
                 with open(p) as f:
                     d = json.load(f)
                 for s in SLICES:
-                    v = d.get("inductive", {}).get(s, {}).get(metric)
+                    v = d.get("inductive", {}).get(s, {}).get(m)
                     if v is not None:
                         vals[side].setdefault(s, []).append(v)
         for s in SLICES:
@@ -121,9 +186,9 @@ def report(outdir: str, metric: str = "recall@20"):
             def fmt(xs):
                 if not xs:
                     return "—"
-                m = statistics.mean(xs)
+                mu = statistics.mean(xs)
                 sd = statistics.stdev(xs) if len(xs) > 1 else 0.0
-                return f"{m:.3f} ± {sd:.3f} (n={len(xs)})"
+                return f"{mu:.3f} ± {sd:.3f} (n={len(xs)})"
 
             delta = (
                 f"{statistics.mean(o) - statistics.mean(r):+.3f}"
@@ -131,7 +196,8 @@ def report(outdir: str, metric: str = "recall@20"):
             )
             mark = " *" if s in NONCOMPARABLE else ""
             lines.append(
-                f"| {name} | {s}{mark} | {fmt(r)} | {fmt(o)} | {delta} |"
+                f"| {name} ({m}) | {s}{mark} | {fmt(r)} | {fmt(o)} "
+                f"| {delta} |"
             )
     lines.append("")
     lines.append("`*` old_new/new_old use intentionally fixed slice "
@@ -144,12 +210,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--outdir", default="/tmp/parity")
     ap.add_argument("--report", action="store_true")
-    ap.add_argument("--metric", default="recall@20")
+    ap.add_argument("--metric", default=None)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated cell names")
+    ap.add_argument("--seeds", default=None,
+                    help="comma-separated seed list (default 3)")
     ns = ap.parse_args()
     if ns.report:
         report(ns.outdir, ns.metric)
     else:
-        run_all(ns.outdir)
+        run_all(
+            ns.outdir,
+            only=set(ns.only.split(",")) if ns.only else None,
+            seeds=(tuple(int(s) for s in ns.seeds.split(","))
+                   if ns.seeds else SEEDS),
+        )
 
 
 if __name__ == "__main__":

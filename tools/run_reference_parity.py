@@ -177,6 +177,13 @@ def paper_args(ns) -> dict:
         args["inductive_mapper"] = ns.mapper
     if ns.embedder:
         args["inductive_embedder"] = ns.embedder
+    if ns.dhe_num_hashes:
+        args["dhe_num_hashes"] = ns.dhe_num_hashes
+    if ns.model == "DirectAU":
+        # the reference ships no DirectAU.yaml — gamma comes from the
+        # paper's dataset JSONs; 1.0 is the paper default (our model's
+        # dataclass default matches)
+        args["gamma"] = 1.0
     if ns.model_eval_type == "retrieval":
         args["valid_metric"] = "MRR@20"
         args["metrics"] = ["Recall", "MRR", "NDCG", "Hit", "Precision"]
@@ -238,6 +245,7 @@ def main():
     ap.add_argument("--n_buckets", type=int, default=200)
     ap.add_argument("--stopping_step", type=int, default=10)
     ap.add_argument("--model_eval_type", default="retrieval")
+    ap.add_argument("--dhe_num_hashes", type=int, default=None)
     ap.add_argument("--out", default=None)
     ns = ap.parse_args()
 
