@@ -352,8 +352,11 @@ class Trainer:
             return 1
         if jax.process_count() > 1:
             return 1
-        k = 16 if flag == "auto" else max(1, int(flag))
-        if flag == "auto" and len(loader) < 4 * k:
+        # K=64 amortizes the per-dispatch RTT to noise (measured ladder on
+        # the tunnel-shared chip: K=16 → 621k ex/s, K=64 → 921k at the
+        # bench shapes); the buffered group is ~K×batch rows of host RAM
+        k = 64 if flag == "auto" else max(1, int(flag))
+        if flag == "auto" and len(loader) < 2 * k:
             return 1
         return k
 
@@ -486,9 +489,14 @@ class Trainer:
         if losses:
             from oovrec_tpu.parallel.mesh import host_local_value
 
-            vals = np.asarray(
-                [host_local_value(l) for l in losses], dtype=np.float64
-            )
+            # host-scan entries are (K,) loss vectors, per-batch entries
+            # scalars — flatten both
+            vals = np.concatenate([
+                np.atleast_1d(
+                    np.asarray(host_local_value(l), dtype=np.float64)
+                )
+                for l in losses
+            ])
             if np.isnan(vals).any():
                 raise ValueError("Training loss is nan")
             total_loss = float(vals.sum())
