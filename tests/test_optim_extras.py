@@ -104,3 +104,21 @@ def test_torch_adam_semantics_bit_parity():
         jp = optax.apply_updates(jp, u)
     diff = np.abs(np.asarray(jp["a"]) - tp.detach().numpy()).max()
     assert diff < 1e-5, diff
+
+
+def test_run_hyper_ray_tool_fast_fails_without_wheel(tmp_path):
+    """`--tool=ray` (the reference's ray.tune delegation,
+    `ref:RecBole/run_hyper.py:45-107`): in this zero-egress image the ray
+    wheel is absent — the CLI must fail fast with an actionable message,
+    never hang or crash obscurely."""
+    import pytest
+
+    from oovrec_tpu.cli.run_hyper import main
+
+    pf = tmp_path / "p.hyper"
+    pf.write_text("learning_rate choice [0.01,0.001]\n")
+    with pytest.raises(SystemExit, match="ray"):
+        main([
+            "--model=BPR", "--dataset=toy", "--data_path=tests/assets",
+            f"--params_file={pf}", "--tool=ray", "--epochs=1",
+        ])
