@@ -199,3 +199,36 @@ def test_uni_eval_vectorized_matches_reference_loop():
                 np.testing.assert_array_equal(
                     np.asarray(bf[k]), np.asarray(ba[k]), err_msg=k
                 )
+
+
+def test_sampler_bitmap_membership_equals_searchsorted():
+    """The O(1) packed-bitmap _is_used must agree with the sorted-key
+    binary search on every (user, item) probe, including the cap
+    fallback path."""
+    import numpy as np
+    from oovrec_tpu.config import Config
+    from oovrec_tpu.data.utils import create_dataset, data_preparation
+
+    from tests.test_dataset import ASSETS
+
+    cfg = Config(config_dict={
+        "model": "BPR", "dataset": "toy", "data_path": ASSETS,
+        "load_col": {"inter": ["user_id", "item_id", "rating",
+                               "timestamp"]},
+        "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "TO",
+                      "group_by": "user", "mode": "full"},
+    })
+    ds = create_dataset(cfg)
+    train_loader, _, _ = data_preparation(cfg, ds)
+    s = train_loader.sampler
+    rng = np.random.default_rng(0)
+    users = rng.integers(0, s.user_num, 5000)
+    items = rng.integers(0, s.item_num, 5000)
+    for phase in s.phases:
+        got = s._is_used(phase, users, items)
+        # force the searchsorted fallback for the oracle
+        s._bitmaps = {phase: None}
+        want = s._is_used(phase, users, items)
+        s._bitmaps = {}
+        np.testing.assert_array_equal(got, want, err_msg=phase)
+        assert want.any(), "oracle degenerate: no used pairs probed"
