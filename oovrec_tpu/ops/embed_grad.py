@@ -93,7 +93,8 @@ def gather_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _packed_gather_fn(dims: tuple, offsets: tuple, n_rows: int):
+def _packed_gather_fn(dims: tuple, offsets: tuple, n_rows: int,
+                      _backend: str = ""):
     """Packed-field gather (B, F) → (B, F, D) over one offset-packed
     table, with a field-split backward: big-vocab fields scatter-add
     (70 ns/row is the floor XLA gives us), small-vocab fields go through
@@ -135,7 +136,9 @@ def packed_gather(table, ids, dims, offsets):
     """`table[ids]` for an offset-packed (B, F) id matrix; backward is
     split per field (scatter for big vocabularies, one-hot matmul for
     small ones). `ids` must already carry the offsets."""
+    # the platform rides in the cache key: the big/small partition is
+    # resolved at factory time and a process could touch CPU before TPU
     return _packed_gather_fn(
         tuple(int(d) for d in dims), tuple(int(o) for o in offsets),
-        int(table.shape[0]),
+        int(table.shape[0]), jax.default_backend(),
     )(table, ids)
