@@ -130,6 +130,34 @@ MEASURED_PEAKS = {
 }
 
 
+REPS = int(os.environ.get("OOVREC_BENCH_REPS", "5"))
+
+
+def _timed_reps(run_once, reps: int = REPS) -> list[float]:
+    """Best-of-N timing discipline (EXPERIMENTS §R4 methodology, made
+    the artifact of record per VERDICT r4 weak #1): the tunnel-shared
+    chip's first timed repetition often stalls 10-100×, so a single
+    window is not a valid measurement. Each rep dispatches the full
+    donated scan chain and drains it with a D2H read inside the window;
+    the caller reports best + p50 + the raw spread."""
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_once()
+        times.append(time.perf_counter() - t0)
+    return times
+
+
+def _rep_stats(times: list[float], steps: int) -> dict:
+    ts = sorted(times)
+    return {
+        "step_time_ms_best": round(ts[0] / steps * 1e3, 3),
+        "step_time_ms_p50": round(ts[len(ts) // 2] / steps * 1e3, 3),
+        "reps": len(ts),
+        "rep_times_ms": [round(t * 1e3, 2) for t in times],
+    }
+
+
 def _roofline(flops, bytes_, dt_step, io_bytes=None):
     peak_f, peak_b, kind = chip_peaks()
     out = {
@@ -267,18 +295,23 @@ def measure(platform: str | None = None, steps: int = STEPS,
         # scan iteration re-reads and re-writes them from HBM (dense adam
         # touches all params each step) plus reads its slice of the batch
         io = _io_bytes(params, opt_state, batch0)
-    loss, params, opt_state = run_steps(params, opt_state, dxs)  # compile+warm
-    float(loss)  # D2H read: provably drains the warmup chain
-    t0 = time.perf_counter()
-    loss, params, opt_state = run_steps(params, opt_state, dxs)
-    # D2H readback INSIDE the window: the axon tunnel's block_until_ready
-    # returns early; only a device→host read waits for the full chain
-    float(loss)
-    dt = time.perf_counter() - t0
+    state = {"p": params, "o": opt_state}
+
+    def run_once():
+        loss, state["p"], state["o"] = run_steps(state["p"], state["o"], dxs)
+        # D2H readback INSIDE the window: the axon tunnel's
+        # block_until_ready returns early; only a device→host read waits
+        # for the full chain
+        float(loss)
+
+    run_once()  # compile + warm dispatch
+    times = _timed_reps(run_once, reps=1 if platform == "cpu" else REPS)
+    dt = min(times)
     eps = BATCH * K / dt
     if not roofline:
         return eps
     out = _roofline(cost[0], cost[1], dt / K, io_bytes=io)
+    out.update(_rep_stats(times, K))
     out["steps_per_dispatch"] = K
     out["examples_per_s"] = round(eps, 1)
     return out

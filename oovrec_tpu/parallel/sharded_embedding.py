@@ -195,10 +195,22 @@ class ShardedEmbed(nn.Module):
         init = self.embedding_init
         if init is None:
             init = nn.initializers.normal(stddev=0.02)
-        # i.i.d. row init → initializing directly in sharded layout is
-        # distribution-identical to initializing dense then resharding
+
+        # initialize at the LOGICAL (V_pad, D) shape, then fold into the
+        # mod-sharded layout (layout[s, i] = dense[i*S + s], exactly
+        # `to_sharded_layout`): shape-dependent initializers (xavier's
+        # fan is computed from the shape) would otherwise see a 3D shape
+        # with receptive_field_size=S and produce a different stddev
+        # than the dense table (ADVICE r4 #2). Remaining delta vs a dense
+        # (V, D) init: the ≤S-1 padding rows enter the fan computation —
+        # O(S/V), negligible at any real vocab.
+        def sharded_init(key, shape, *args):
+            s_, rows_, d = shape
+            dense = init(key, (s_ * rows_, d), *args)
+            return jnp.transpose(dense.reshape(rows_, s_, d), (1, 0, 2))
+
         self.embedding_sharded = self.param(
-            "embedding_sharded", init, (S, rows, self.features)
+            "embedding_sharded", sharded_init, (S, rows, self.features)
         )
 
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
@@ -228,6 +240,64 @@ class ShardedEmbed(nn.Module):
     def embedding(self) -> jnp.ndarray:
         """`nn.Embed.embedding` drop-in for dense consumers."""
         return self.dense()
+
+
+def reconcile_layouts(target_tree, raw_state) -> None:
+    """Convert stored embedding-table layouts IN PLACE inside a
+    msgpack-restored state dict so it matches the current param tree
+    (ADVICE r4 #4): a checkpoint written with `sharded_lookup != gspmd`
+    stores `embedding_sharded` (S, V_pad/S, D); resuming it into a dense
+    model (or onto a mesh with a different model-axis size) — or the
+    reverse — would fail structurally in `from_state_dict`. Handles:
+
+      * stored sharded → target dense `embedding` (V, D)
+      * stored dense   → target sharded (S, rows, D)
+      * sharded → sharded with a different S (via the dense form)
+
+    Works on any nested dict (params AND optimizer-state subtrees whose
+    leaves mirror the param layout, e.g. adam mu/nu)."""
+
+    def dense_of(stored: np.ndarray, vocab: int) -> np.ndarray:
+        return from_sharded_layout(np.asarray(stored), vocab)
+
+    def walk(tgt, raw):
+        if not isinstance(tgt, dict) or not isinstance(raw, dict):
+            return
+        if "embedding" in tgt and "embedding_sharded" in raw:
+            stored = raw.pop("embedding_sharded")
+            if np.ndim(stored) == 3 and np.ndim(tgt["embedding"]) == 2:
+                v = int(np.shape(tgt["embedding"])[0])
+                raw["embedding"] = dense_of(stored, v)
+            else:  # scalar/structural leaves (e.g. per-param adam counts)
+                raw["embedding"] = stored
+        elif "embedding_sharded" in tgt and "embedding" in raw:
+            stored = raw.pop("embedding")
+            shp = np.shape(tgt["embedding_sharded"])
+            if np.ndim(stored) == 2 and len(shp) == 3:
+                s, rows = int(shp[0]), int(shp[1])
+                raw["embedding_sharded"] = to_sharded_layout(
+                    np.asarray(stored), s
+                )[:, :rows]
+            else:
+                raw["embedding_sharded"] = stored
+        elif (
+            "embedding_sharded" in tgt
+            and "embedding_sharded" in raw
+            and np.ndim(raw["embedding_sharded"]) == 3
+            and tuple(np.shape(tgt["embedding_sharded"]))
+            != tuple(np.shape(raw["embedding_sharded"]))
+        ):
+            s, rows, _d = np.shape(tgt["embedding_sharded"])
+            stored = np.asarray(raw["embedding_sharded"])
+            dense = dense_of(stored, stored.shape[0] * stored.shape[1])
+            raw["embedding_sharded"] = to_sharded_layout(
+                dense, int(s)
+            )[:, : int(rows)]
+        for k, sub in tgt.items():
+            if k in raw:
+                walk(sub, raw[k])
+
+    walk(target_tree, raw_state)
 
 
 def make_lookup(mesh: Mesh, kind: str = "auto",

@@ -338,7 +338,8 @@ class Trainer:
 
     def _host_scan_k(self, loader) -> int:
         """Batches per dispatch for the host pipeline. `host_scan_steps:
-        auto` engages K=16 for static-shape single-process loads; dynamic
+        auto` engages K=64 on single-process static-shape loaders with
+        >= 128 batches (~K x batch rows buffered on the host); dynamic
         hard negatives need live params per batch (the scorer callback) so
         they stay per-batch; tiny loaders keep the per-batch path so
         seeded fixture trajectories don't re-compile twice for a one-off
@@ -877,8 +878,18 @@ class Trainer:
     def resume_checkpoint(self, path: str, params_only: bool = False):
         with open(path, "rb") as f:
             state = pickle.load(f)
-        params = serialization.from_bytes(
-            self.variables["params"], state["params"]
+        # layout reconciliation (ADVICE r4 #4): checkpoints written under
+        # `sharded_lookup != gspmd` store tables as `embedding_sharded`
+        # (S, V_pad/S, D) keyed to the writing mesh's model-axis size;
+        # convert stored ↔ current layouts (both directions, any S)
+        # instead of failing structurally on a topology change
+        from oovrec_tpu.parallel.sharded_embedding import reconcile_layouts
+
+        raw_params = serialization.msgpack_restore(state["params"])
+        target_params = serialization.to_state_dict(self.variables["params"])
+        reconcile_layouts(target_params, raw_params)
+        params = serialization.from_state_dict(
+            self.variables["params"], raw_params
         )
         self.variables = dict(self.variables, params=params)
         if state.get("extra_vars"):
@@ -888,8 +899,12 @@ class Trainer:
                 self.variables = dict(extra, params=params)
         self.estate.update(state.get("estate", {}))
         if not params_only:
-            self.opt_state = serialization.from_bytes(
-                self.opt_state, state["opt_state"]
+            raw_opt = serialization.msgpack_restore(state["opt_state"])
+            reconcile_layouts(
+                serialization.to_state_dict(self.opt_state), raw_opt
+            )
+            self.opt_state = serialization.from_state_dict(
+                self.opt_state, raw_opt
             )
             self.start_epoch = state["epoch"] + 1
             self.cur_step = state["cur_step"]

@@ -509,9 +509,10 @@ def test_device_epoch_dhe_padded_halves_bit_exact():
 
 def test_popularity_device_epoch_engages(tmp_path):
     """Popularity negative sampling (`ref:sampler.py:78-99`,
-    counts**alpha) rides the device fast path as an inverse-CDF draw:
-    the epoch program carries cumsum(pop_p) and draws via searchsorted
-    (round-4 eligibility widening)."""
+    counts**alpha) rides the device fast path as an O(1) alias-table
+    draw (data/alias.py; round-5 replacement of the round-4 inverse-CDF
+    searchsorted). The carried table must reconstruct the host sampler's
+    pop_p exactly."""
     cfg = _cfg(
         device_epoch=True, checkpoint_dir=str(tmp_path),
         train_neg_sample_args={
@@ -524,24 +525,35 @@ def test_popularity_device_epoch_engages(tmp_path):
         "popularity config did not engage the device epoch"
     )
     de = next(iter(trainer._device_epochs.values()))
-    assert de.pop_cdf is not None
+    assert de.pop_tab is not None
     assert np.isfinite(float(res["test_result"]["ndcg@5"]))
-    np.testing.assert_allclose(float(np.asarray(de.pop_cdf)[-1]), 1.0,
-                               rtol=1e-5)
+    from oovrec_tpu.data.alias import reconstruct_p
+
+    prob, alias = (np.asarray(t) for t in de.pop_tab)
+    p_hat = reconstruct_p(prob, alias)
+    np.testing.assert_allclose(p_hat.sum(), 1.0, atol=1e-9)
+    assert p_hat[0] == 0.0, "PAD must carry zero popularity mass"
 
 
 def test_device_popularity_draw_matches_host_distribution():
-    """The inverse-CDF draw reproduces the host popularity distribution:
-    empirical frequencies over many draws track pop_p (chi-square-ish
-    tolerance), and PAD (item 0, pop_p=0) is never drawn."""
+    """The alias-table draw reproduces the host popularity distribution:
+    (a) the table decomposition reconstructs p EXACTLY (Walker
+    invariant), (b) empirical device-draw frequencies track pop_p, and
+    (c) PAD (item 0, pop_p=0) is never drawn."""
+    from oovrec_tpu.data.alias import (
+        alias_draw, build_alias_table, reconstruct_p,
+    )
+
     rng = np.random.default_rng(5)
     counts = rng.integers(1, 50, size=32).astype(np.float64)
     counts[0] = 0.0
     p = counts / counts.sum()
-    cdf = jnp.asarray(np.cumsum(p).astype(np.float32))
+    prob, alias = build_alias_table(p)
+    np.testing.assert_allclose(reconstruct_p(prob, alias), p, atol=1e-7)
     key = jax.random.key(3)
-    u = jax.random.uniform(key, (200_000,))
-    draws = np.asarray(jnp.searchsorted(cdf, u, side="right"))
+    draws = np.asarray(
+        alias_draw(key, (200_000,), jnp.asarray(prob), jnp.asarray(alias))
+    )
     assert (draws > 0).all() and (draws < 32).all()
     freq = np.bincount(draws, minlength=32) / len(draws)
     np.testing.assert_allclose(freq, p, atol=5e-3)

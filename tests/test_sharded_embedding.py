@@ -223,3 +223,79 @@ def test_sharded_embed_weight_copy_identity(tmp_path):
     s1 = np.asarray(m1.apply({"params": dp}, batch, e, method=m1.predict))
     s2 = np.asarray(m2.apply({"params": sp}, batch, e, method=m2.predict))
     np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-7)
+
+
+def test_reconcile_layouts_directions():
+    """`reconcile_layouts` converts stored checkpoint layouts to the
+    current tree (ADVICE r4 #4): sharded→dense, dense→sharded,
+    sharded→sharded across model-axis sizes, and scalar structural
+    leaves (per-param adam counts) rename without conversion."""
+    from oovrec_tpu.parallel.sharded_embedding import reconcile_layouts
+
+    rng = np.random.default_rng(3)
+    dense = rng.standard_normal((10, 4)).astype(np.float32)
+
+    # sharded (S=2) → dense
+    raw = {"t": {"embedding_sharded": to_sharded_layout(dense, 2)}}
+    tgt = {"t": {"embedding": np.zeros((10, 4), np.float32)}}
+    reconcile_layouts(tgt, raw)
+    np.testing.assert_array_equal(raw["t"]["embedding"], dense)
+
+    # dense → sharded (S=4)
+    raw = {"t": {"embedding": dense.copy()}}
+    tgt = {"t": {"embedding_sharded": np.zeros((4, 3, 4), np.float32)}}
+    reconcile_layouts(tgt, raw)
+    np.testing.assert_array_equal(
+        from_sharded_layout(raw["t"]["embedding_sharded"], 10), dense
+    )
+
+    # sharded S=2 → sharded S=4
+    raw = {"t": {"embedding_sharded": to_sharded_layout(dense, 2)}}
+    tgt = {"t": {"embedding_sharded": np.zeros((4, 3, 4), np.float32)}}
+    reconcile_layouts(tgt, raw)
+    np.testing.assert_array_equal(
+        from_sharded_layout(raw["t"]["embedding_sharded"], 10), dense
+    )
+
+    # scalar structural leaf (adam per-param count): rename only
+    raw = {"t": {"embedding_sharded": np.int32(5)}}
+    tgt = {"t": {"embedding": np.int32(0)}}
+    reconcile_layouts(tgt, raw)
+    assert raw["t"]["embedding"] == 5
+
+
+def test_sharded_checkpoint_resumes_into_dense(tmp_path):
+    """A checkpoint written under `sharded_lookup: psum` (tables stored
+    as gathered (S, V/S, D) host arrays) resumes into a DENSE model on
+    the same corpus: resume_checkpoint converts the layout instead of
+    failing structurally, and the dense tables equal the sharded run's
+    logical tables."""
+    from oovrec_tpu.cli.quick_start import run
+
+    res = run(
+        config_dict=_prod_cfg(
+            tmp_path, epochs=1, sharded_lookup="psum",
+            checkpoint_dir=str(tmp_path),
+        ),
+        saved=True,
+    )
+    tr = res["trainer"]
+    stored = np.asarray(
+        jax.device_get(
+            tr.variables["params"]["user_embedding"]["embedding_sharded"]
+        )
+    )
+
+    dense = run(
+        config_dict=_prod_cfg(tmp_path, epochs=1, checkpoint_dir=str(tmp_path)),
+        saved=False,
+    )
+    tr2 = dense["trainer"]
+    assert "embedding" in tr2.variables["params"]["user_embedding"]
+    tr2.resume_checkpoint(tr.saved_model_file, params_only=True)
+    got = np.asarray(
+        jax.device_get(tr2.variables["params"]["user_embedding"]["embedding"])
+    )
+    np.testing.assert_allclose(
+        got, from_sharded_layout(stored, got.shape[0]), rtol=1e-6
+    )

@@ -66,6 +66,38 @@ _EMB = {
             "--oov_train_ratio=0.3", "--dhe_num_hashes=32",
         ],
     },
+    "fdhe": {
+        "ours": [
+            "--inductive_embedder=fdhe", "--train_oov=True",
+            "--oov_train_ratio=0.3", "--dhe_num_hashes=32",
+        ],
+        "ref": [
+            "--embedder=fdhe", "--mapper=", "--train_oov",
+            "--oov_train_ratio=0.3", "--dhe_num_hashes=32",
+        ],
+    },
+    "dnn": {
+        "ours": [
+            "--inductive_embedder=dnn", "--train_oov=True",
+            "--oov_train_ratio=0.3",
+        ],
+        "ref": [
+            "--embedder=dnn", "--mapper=", "--train_oov",
+            "--oov_train_ratio=0.3",
+        ],
+    },
+    # knn / mean: non-trainable embedders — no OOV sub-epochs. The
+    # reference's scann dependency is absent in this image; the parity
+    # runner stands in an EXACT dot-product searcher (ours is exact by
+    # design), so the knn row compares equal exact-neighbor semantics.
+    "knn": {
+        "ours": ["--inductive_embedder=knn"],
+        "ref": ["--embedder=knn", "--mapper="],
+    },
+    "mean": {
+        "ours": ["--inductive_embedder=mean"],
+        "ref": ["--embedder=mean", "--mapper="],
+    },
 }
 
 # matrix rows: (cell name, model, track). Round-4 VERDICT #4: >=4 model
@@ -83,6 +115,15 @@ CELLS = [
     ("dcnv2_lsh", "DCNV2", "ranking", "lsh"),
     ("widedeep_slsh", "WideDeep", "ranking", "slsh"),
     ("widedeep_dhe", "WideDeep", "ranking", "dhe"),
+    # round-5 blind-spot cells (VERDICT r4 #6): the xDeepFM paper model
+    # had no independent-training row, and fdhe/knn/dnn/mean embedders
+    # had only weight-copy identity
+    ("xdeepfm_zero", "xDeepFM", "ranking", "zero"),
+    ("xdeepfm_lsh", "xDeepFM", "ranking", "lsh"),
+    ("bpr_fdhe", "BPR", "retrieval", "fdhe"),
+    ("bpr_dnn", "BPR", "retrieval", "dnn"),
+    ("bpr_knn", "BPR", "retrieval", "knn"),
+    ("bpr_mean", "BPR", "retrieval", "mean"),
 ]
 
 LOAD_COL = (
@@ -146,7 +187,7 @@ def run_all(outdir: str, only=None, seeds=SEEDS):
                     with open(log, "w") as lf:
                         rc = subprocess.run(
                             cmd, stdout=lf, stderr=subprocess.STDOUT,
-                            timeout=3600,
+                            timeout=7200,
                         ).returncode
                 except subprocess.TimeoutExpired:
                     rc = -9

@@ -81,7 +81,51 @@ def install_shims():
     pl.storage = st
     sys.modules.setdefault("pyLSHash", pl)
     sys.modules.setdefault("pyLSHash.storage", st)
-    sys.modules.setdefault("scann", types.ModuleType("scann"))
+    # scann: the wheel is absent here; stand in with an EXACT brute-force
+    # dot-product searcher exposing the one call the reference makes
+    # (`knn_embedder.py:84-101`: builder(db, k, "dot_product").tree(...)
+    # .score_ah(...).reorder(...).build() → search_batched(q,
+    # final_num_neighbors=k)). Exact search ⊇ ScaNN's ANN result set, and
+    # our framework's knn embedder is exact by design — so the parity row
+    # compares equal semantics (documented in PARITY.md).
+    scann_mod = types.ModuleType("scann")
+    ops = types.ModuleType("scann.scann_ops_pybind")
+
+    class _ExactSearcher:
+        def __init__(self, db):
+            self._db = np.asarray(db, dtype=np.float32)
+
+        def search_batched(self, queries, final_num_neighbors=10, **k):
+            q = np.asarray(queries, dtype=np.float32)
+            scores = q @ self._db.T
+            kk = min(final_num_neighbors, scores.shape[1])
+            idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            order = np.argsort(
+                -np.take_along_axis(scores, idx, axis=1), axis=1
+            )
+            idx = np.take_along_axis(idx, order, axis=1)
+            return idx, np.take_along_axis(scores, idx, axis=1)
+
+    class _Builder:
+        def __init__(self, db, *a, **k):
+            self._db = db
+
+        def tree(self, *a, **k):
+            return self
+
+        def score_ah(self, *a, **k):
+            return self
+
+        def reorder(self, *a, **k):
+            return self
+
+        def build(self):
+            return _ExactSearcher(self._db)
+
+    ops.builder = _Builder
+    scann_mod.scann_ops_pybind = ops
+    sys.modules.setdefault("scann", scann_mod)
+    sys.modules.setdefault("scann.scann_ops_pybind", ops)
 
     csip = types.ModuleType("csiphash")
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
