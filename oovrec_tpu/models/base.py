@@ -116,8 +116,20 @@ class GeneralRecommender(nn.Module):
         """`iv` may be a dense (V, D) table (the historical API), an
         nn.Embed, or a ShardedEmbed — the latter routes the IV gather
         through the explicit row-sharded exchange and only densifies for
-        embedders that read the whole table (mean/knn)."""
+        embedders that read the whole table (mean/knn).
+
+        Sparse fast path (train/sparse_update.py): a batch key
+        `_sparse_rows_<side>` carries PRE-GATHERED table rows (n, D) with
+        the id fields remapped to row positions — the step differentiates
+        w.r.t. those rows directly (no dense (V, D) cotangent), and the
+        row-sparse adam writes only touched rows back. Training-time
+        only; requires ids < vocab (all training paths) and an embedder
+        that never reads the whole table (not mean/knn)."""
         spec = self.spec
+        rows_override = (
+            batch.get("_sparse_rows_" + side)
+            if isinstance(batch, dict) else None
+        )
         flags = batch.get(field + "_oov") if spec and spec.active else None
         buckets = batch.get(field + "_bucket") if spec and spec.active else None
         bucket_table = None
@@ -140,6 +152,15 @@ class GeneralRecommender(nn.Module):
         iv_table = iv
         from oovrec_tpu.parallel.sharded_embedding import ShardedEmbed
 
+        if rows_override is not None:
+            assert not (
+                spec and spec.active and spec.embedder in ("mean", "knn")
+            ), "sparse row override cannot serve whole-table embedders"
+            return route(
+                spec, side, ids, flags, buckets, rows_override,
+                bucket_table, estate, mlp_apply=mlp, dhe_hashes=dhe,
+                out_dim=self.embedding_size,
+            )
         if isinstance(iv, ShardedEmbed):
             iv_lookup, iv_vocab = iv, iv.num_embeddings
             needs_dense = bool(

@@ -48,6 +48,17 @@ class BPR(GeneralRecommender):
             field or self.iid_field,
         )
 
+    def sparse_table_fields(self):
+        """Sparse fast-path declaration (train/sparse_update.py): the ID
+        tables are pure row lookups over these batch fields."""
+        return {
+            "user": ("user_embedding", [self.uid_field]),
+            "item": (
+                "item_embedding",
+                [self.iid_field, self.neg_prefix + self.iid_field],
+            ),
+        }
+
     def calculate_loss(self, batch: Batch, estate=None):
         user = batch[self.uid_field]
         pos = batch[self.iid_field]

@@ -51,6 +51,14 @@ class DirectAU(GeneralRecommender):
             field or self.iid_field,
         )
 
+    def sparse_table_fields(self):
+        """Sparse fast-path declaration (train/sparse_update.py):
+        calculate_loss reads only (uid, iid) rows of the ID tables."""
+        return {
+            "user": ("user_embedding", [self.uid_field]),
+            "item": ("item_embedding", [self.iid_field]),
+        }
+
     @staticmethod
     def _alignment(u, i, w):
         d = jnp.sum((u - i) ** 2, axis=1)  # ‖u−i‖₂² (alpha=2)

@@ -110,6 +110,21 @@ def profile_bpr(out_dir: str):
     return res
 
 
+def profile_sparse(out_dir: str):
+    import jax
+    import bench
+
+    trace_dir = os.path.join(out_dir, "bpr-sparse")
+    os.makedirs(trace_dir, exist_ok=True)
+    bench.measure_sparse(steps=10)
+    with jax.profiler.trace(trace_dir):
+        bench.measure_sparse(steps=10)
+    res = summarize(trace_dir)
+    res["workload"] = "bpr-sparse"
+    res["trace_dir"] = trace_dir
+    return res
+
+
 def profile_ctr(out_dir: str, compute_dtype: str = "bfloat16"):
     import jax
     import bench
@@ -134,6 +149,8 @@ def main():
     results = []
     if workload in ("bpr", "both"):
         results.append(profile_bpr(out))
+    if workload == "sparse":
+        results.append(profile_sparse(out))
     if workload in ("xdeepfm", "both"):
         results.append(profile_ctr(
             out, args.get("--compute_dtype", "bfloat16")))
