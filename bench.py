@@ -326,7 +326,7 @@ def measure(platform: str | None = None, steps: int = STEPS,
 
 
 def measure_sparse(steps: int = STEPS, n_users: int = N_USERS,
-                   n_items: int = N_ITEMS):
+                   n_items: int = N_ITEMS, impl: str = "xla"):
     """`bpr_sparse_adam` variant (VERDICT r4 #3): the same BPR+OOV step
     under the row-sparse fast path — row grads via the `_sparse_rows_*`
     batch override (no dense (V, D) cotangent), lazy-adam moments
@@ -416,6 +416,7 @@ def measure_sparse(steps: int = STEPS, n_users: int = N_USERS,
                 tbl2, st2 = sparse_adam_update_table(
                     tables[name]["embedding"], sps[side],
                     gathered[side], g_rows[side], cnt2, LR,
+                    impl=impl,
                 )
                 new_tables[name] = {"embedding": tbl2}
                 new_sps[side] = st2
@@ -476,6 +477,7 @@ def measure_sparse(steps: int = STEPS, n_users: int = N_USERS,
     out = _roofline(cost[0], cost[1], dt / K, io_bytes=io)
     out.update(_rep_stats(times, K))
     out["io_model"] = "touched-rows (sparse-adam semantic floor)"
+    out["update_impl"] = impl
     out["steps_per_dispatch"] = K
     out["examples_per_s"] = round(BATCH * K / dt, 1)
     return out

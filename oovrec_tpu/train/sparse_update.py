@@ -83,14 +83,34 @@ def sparse_adam_update_table(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    impl: str = "xla",
 ) -> Tuple[jnp.ndarray, SparseTableState]:
     """One lazy-adam step on the rows `ids` of `table` given their row
     gradients `grows` (duplicates allowed — they are coalesced). `count`
     is the optimizer-global POST-increment step number (optax state
     count semantics: the first update sees count=1). Zero-gradient rows
     (after coalescing) are written back unchanged — bit-identical to
-    `scale_by_lazy_adam` + `optax.apply_updates` on a dense grad."""
+    `scale_by_lazy_adam` + `optax.apply_updates` on a dense grad.
+
+    impl: 'xla' (scatter-set write-back — whole-operand pass on TPU) or
+    'pallas' (ops/sparse_rows.py in-place row kernel — O(touched rows),
+    requires V % 8 == 0; ids are padded to a multiple of 8 with a
+    duplicate of the last id + zero grads, which the kernel skips)."""
     sid, g = coalesce_rows(ids, grows)
+    if impl == "pallas":
+        from oovrec_tpu.ops.sparse_rows import sparse_adam_rows_kernel
+
+        pad = (-sid.shape[0]) % 8
+        if pad:
+            sid = jnp.concatenate([sid, jnp.repeat(sid[-1:], pad)])
+            g = jnp.concatenate(
+                [g, jnp.zeros((pad, g.shape[1]), g.dtype)]
+            )
+        p2, mu2, nu2 = sparse_adam_rows_kernel(
+            table, state.mu, state.nu, sid, g, count, lr,
+            b1=b1, b2=b2, eps=eps,
+        )
+        return p2, SparseTableState(mu2, nu2)
     touched = jnp.any(g != 0, axis=1, keepdims=True)
     mu_r = state.mu[sid]
     nu_r = state.nu[sid]
@@ -151,6 +171,121 @@ def gather_rows_for_batch(
             off += m
         gathered[side] = ids
     return rows, new_batch, gathered
+
+
+def prune_tables(tree: Dict, table_names) -> Dict:
+    """Remove the `embedding` leaf of each table module from a
+    param-structured tree (params, adam mu/nu) — the 'rest' tree the
+    plain optax chain keeps handling. Module dicts stay present (possibly
+    empty) so grads/state/params prune to IDENTICAL treedefs."""
+    return {
+        k: (
+            {kk: vv for kk, vv in v.items() if kk != "embedding"}
+            if k in table_names and isinstance(v, dict) else v
+        )
+        for k, v in tree.items()
+    }
+
+
+def merge_tables(rest: Dict, tables: Dict[str, jnp.ndarray]) -> Dict:
+    """Inverse of `prune_tables`: re-insert `embedding` leaves."""
+    out = dict(rest)
+    for name, arr in tables.items():
+        out[name] = dict(out.get(name, {}), embedding=arr)
+    return out
+
+
+def split_lazy_opt_state(opt_state, table_names, table_map):
+    """Split a `chain(scale_by_lazy_adam(), scale(-lr))` state into the
+    rest-tree state (feedable to the SAME chain over pruned grads) and
+    per-side SparseTableStates. Pure tree surgery — no data movement."""
+    from oovrec_tpu.train.optimizers import ScaleByLazyAdamState
+
+    lazy = opt_state[0]
+    assert isinstance(lazy, ScaleByLazyAdamState), type(lazy)
+    sparse = {
+        side: SparseTableState(
+            lazy.mu[name]["embedding"], lazy.nu[name]["embedding"]
+        )
+        for side, (name, _f) in table_map.items()
+    }
+    rest_state = (
+        ScaleByLazyAdamState(
+            lazy.count,
+            prune_tables(lazy.mu, table_names),
+            prune_tables(lazy.nu, table_names),
+        ),
+    ) + tuple(opt_state[1:])
+    return rest_state, sparse
+
+
+def merge_lazy_opt_state(rest_state, sparse, table_map):
+    """Inverse of `split_lazy_opt_state`."""
+    from oovrec_tpu.train.optimizers import ScaleByLazyAdamState
+
+    lazy = rest_state[0]
+    mu = dict(lazy.mu)
+    nu = dict(lazy.nu)
+    for side, (name, _f) in table_map.items():
+        mu[name] = dict(mu.get(name, {}), embedding=sparse[side].mu)
+        nu[name] = dict(nu.get(name, {}), embedding=sparse[side].nu)
+    return (
+        ScaleByLazyAdamState(lazy.count, mu, nu),
+    ) + tuple(rest_state[1:])
+
+
+def sparse_epoch_table_map(trainer, model, spec, frozen: bool):
+    """Eligibility of the device-epoch sparse fast path: returns the
+    model's table map, or None. Requires `learner: sparse_adam` with no
+    weight decay / clipping / torch-adam override (the optax chain must
+    be exactly (scale_by_lazy_adam, scale)), a single-device run (the
+    mesh path keeps GSPMD-dense updates), plain nn.Embed tables, an
+    embedder that never reads the whole table, and an unfrozen pass
+    (frozen-IV sub-epochs skip table updates entirely via the dense
+    freeze-mask machinery)."""
+    cfg = trainer.config
+    if (
+        trainer.learner != "sparse_adam"
+        or trainer.weight_decay
+        or trainer.clip is not None
+        or cfg.get("optimizer_skip_zero_grads")
+        or trainer.mesh is not None
+        or frozen
+        or cfg.get("sparse_update_impl") == "dense"
+    ):
+        return None
+    m = sparse_table_map(model)
+    if not m:
+        return None
+    if spec is not None and getattr(spec, "active", False) and (
+        spec.embedder in ("mean", "knn")
+    ):
+        return None
+    params = trainer.variables["params"]
+    for _side, (name, _f) in m.items():
+        if name not in params or "embedding" not in params[name]:
+            return None
+    return m
+
+
+def resolve_sparse_impl(cfg, params, table_map) -> str:
+    """'sparse_update_impl: auto|xla|pallas' — auto picks the Pallas
+    in-place row kernel once the combined table rows clear ~2.5M (the
+    measured crossover where the V-proportional XLA scatter pass
+    overtakes the kernel's flat ~16 ms per-row grid cost — EXPERIMENTS
+    round 5: dense/xla/pallas = 26.9/21.4/~16.5 ms at 3M rows,
+    3.3/6.5/16.2 ms at 300k) and every vocab is 8-row aligned; xla
+    otherwise."""
+    impl = cfg.get("sparse_update_impl", "auto")
+    if impl in ("xla", "pallas"):
+        return impl
+    vocabs = [
+        params[name]["embedding"].shape[0]
+        for _s, (name, _f) in table_map.items()
+    ]
+    if sum(vocabs) >= 2_500_000 and all(v % 8 == 0 for v in vocabs):
+        return "pallas"
+    return "xla"
 
 
 def sparse_table_map(model) -> Dict[str, Tuple[str, List[str]]]:

@@ -151,3 +151,58 @@ def test_sparse_rows_override_matches_full_model():
         np.asarray(g_full["user_oov_buckets"]["embedding"]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_sparse_device_epoch_matches_dense_lazy_sweep(tmp_path):
+    """PRODUCTION integration: `learner: sparse_adam` through the
+    device-resident epoch — the row-sparse fast path (gathered rows,
+    touched-row lazy adam, scatter write-back) must produce the SAME
+    trained params and metrics as the dense scale_by_lazy_adam sweep
+    (`sparse_update_impl: dense` forces the old path; identical rng
+    streams make the trajectories comparable to float tolerance)."""
+    from oovrec_tpu.cli.quick_start import run
+
+    def cfg(impl):
+        return {
+            "model": "BPR",
+            "dataset": "toy",
+            "data_path": "tests/assets",
+            "load_col": {
+                "inter": ["user_id", "item_id", "rating", "timestamp"]
+            },
+            "epochs": 3,
+            "train_batch_size": 8,
+            "eval_batch_size": 64,
+            "embedding_size": 8,
+            "topk": [2, 5],
+            "valid_metric": "MRR@2",
+            "eval_args": {
+                "split": {"RS": [0.8, 0.1, 0.1]},
+                "order": "TO", "group_by": "user", "mode": "full",
+            },
+            "device_epoch": True,
+            "learner": "sparse_adam",
+            "sparse_update_impl": impl,
+            "checkpoint_dir": str(tmp_path),
+            "seed": 11,
+        }
+
+    dense = run(config_dict=cfg("dense"), saved=False)
+    sparse = run(config_dict=cfg("xla"), saved=False)
+    de = next(iter(sparse["trainer"]._device_epochs.values()))
+    assert de.sparse_tables, "sparse fast path did not engage"
+    de_d = next(iter(dense["trainer"]._device_epochs.values()))
+    assert de_d.sparse_tables is None, "dense control engaged sparse path"
+
+    p_s = jax.device_get(sparse["trainer"].variables["params"])
+    p_d = jax.device_get(dense["trainer"].variables["params"])
+    for name in ("user_embedding", "item_embedding"):
+        np.testing.assert_allclose(
+            np.asarray(p_s[name]["embedding"]),
+            np.asarray(p_d[name]["embedding"]),
+            rtol=2e-5, atol=2e-6,
+        )
+    for k, v in sparse["test_result"].items():
+        np.testing.assert_allclose(
+            float(v), float(dense["test_result"][k]), rtol=1e-4, atol=1e-5
+        )
