@@ -23,6 +23,7 @@ class SequentialDataset(Dataset):
         self.max_item_list_len = int(config["MAX_ITEM_LIST_LENGTH"])
         self.item_list_length_field = config["ITEM_LIST_LENGTH_FIELD"]
         self.list_suffix = config["LIST_SUFFIX"]
+        self.neg_prefix = config.get("NEG_PREFIX") or "neg_"
         super().__init__(config)
         self._augmented = None
 
@@ -65,6 +66,39 @@ class SequentialDataset(Dataset):
             self.iid_field + self.list_suffix: item_list,
             self.item_list_length_field: np.asarray(lengths, np.int64),
         }
+        if self.config.get("dien_neg_sampling") == "presampled":
+            # DIENDataset semantics (`ref:customized_dataset.py:38-70` +
+            # `ref:sampler.py:472-490` SeqSampler.sample_neg_sequence):
+            # ONE fixed uniform negative per interaction position, drawn
+            # at dataset-build time (resampled on collision with the
+            # positive at that position), then windowed exactly like
+            # item_list — the auxiliary-loss negatives are fixed for the
+            # whole run instead of fresh per step (models/sequential/
+            # din.py on-device default).
+            rng = np.random.default_rng(int(self.config.get("seed") or 0))
+            neg_flat = np.zeros(len(iid), np.int64)
+            pending = np.arange(len(iid))
+            while len(pending):
+                neg_flat[pending] = rng.integers(
+                    1, self.item_num, len(pending)
+                )
+                pending = pending[neg_flat[pending] == iid[pending]]
+            neg_list = np.zeros((n, L), dtype=np.int64)
+            row = 0
+            last_uid = None
+            seq_start = 0
+            for i, u in enumerate(uid):
+                if last_uid != u:
+                    last_uid = u
+                    seq_start = i
+                else:
+                    if i - seq_start > L:
+                        seq_start += 1
+                    neg_list[row, : i - seq_start] = neg_flat[seq_start:i]
+                    row += 1
+            self._augmented[
+                self.neg_prefix + self.iid_field + self.list_suffix
+            ] = neg_list
         return self._augmented
 
     def build(self):

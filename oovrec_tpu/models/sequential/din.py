@@ -172,9 +172,20 @@ class DIEN(DIN):
         B, L = seq.shape
         seq_e = self.item_embedding(seq)
         seq_h = self._interest_states(seq_e)
-        neg = jax.random.randint(self.make_rng("dropout"), seq.shape, 1,
-                                 self.n_items)
-        neg = jnp.where(neg == seq, neg % (self.n_items - 1) + 1, neg)
+        # `dien_neg_sampling: presampled` ships a fixed-per-run negative
+        # history column from the dataset build (DIENDataset semantics,
+        # `ref:customized_dataset.py:38-70`); the default draws fresh
+        # negatives per step on device (collision-bumped)
+        presampled = batch.get(
+            self.neg_prefix + self.iid_field + self.list_suffix
+        )
+        if presampled is not None:
+            neg = presampled
+        else:
+            neg = jax.random.randint(
+                self.make_rng("dropout"), seq.shape, 1, self.n_items
+            )
+            neg = jnp.where(neg == seq, neg % (self.n_items - 1) + 1, neg)
         h = seq_h[:, :-1, :]
         pos_s = jnp.sum(h * seq_e[:, 1:, :], axis=-1)
         neg_s = jnp.sum(h * self.item_embedding(neg)[:, 1:, :], axis=-1)

@@ -87,3 +87,42 @@ def test_sequential_end_to_end(model):
     assert "recall@5" in res["test_result"]
     for v in res["test_result"].values():
         assert 0.0 <= v <= 1.0
+
+
+def test_dien_presampled_negative_sequence():
+    """`dien_neg_sampling: presampled` (DIENDataset semantics,
+    `ref:customized_dataset.py:38-70`): one fixed uniform negative per
+    interaction position, never colliding with the positive, windowed
+    exactly like item_list; DIEN's auxiliary loss consumes the column
+    and the run trains to finite metrics."""
+    c = Config(config_dict=_cfg(
+        model="DIEN", dien_neg_sampling="presampled", seed=5,
+    ))
+    ds = SequentialDataset(c)
+    aug = ds.data_augmentation()
+    neg_col = "neg_item_id" + ds.list_suffix
+    assert neg_col in aug
+    pos = aug["item_id" + ds.list_suffix]
+    neg = aug[neg_col]
+    lengths = aug[ds.item_list_length_field]
+    assert neg.shape == pos.shape
+    for r in range(len(lengths)):
+        n_ = int(lengths[r])
+        row_pos, row_neg = pos[r, :n_], neg[r, :n_]
+        assert (row_neg != row_pos).all(), "negative collided with positive"
+        assert (row_neg >= 1).all() and (row_neg < ds.item_num).all()
+        assert (neg[r, n_:] == 0).all(), "padding must stay zero"
+    # window alignment: the same (user, prefix) windows as item_list —
+    # consecutive examples of one user share their overlapping prefix
+    u1 = ds.field2token_id["user_id"]["u1"]
+    rows = np.where(aug["user_id"] == u1)[0]
+    r0, r1 = rows[0], rows[1]
+    np.testing.assert_array_equal(neg[r1, :1], neg[r0, :1])
+
+    res = objective_function(config_dict=_cfg(
+        model="DIEN", dien_neg_sampling="presampled", seed=5,
+        mlp_hidden_size=[8], att_hidden=[8], alpha=0.5,
+        train_neg_sample_args={"distribution": "uniform", "sample_num": 1},
+    ), saved=False)
+    for v in res["test_result"].values():
+        assert np.isfinite(float(v))
