@@ -189,7 +189,12 @@ def paper_args(ns) -> dict:
         "dataset": ns.dataset,
         "seed": ns.seed,
         "epochs": ns.epochs,
-        "embedding_size": ns.embedding_size,
+        # embedding_size: only when explicitly requested — the paper
+        # driver does NOT set it, so the model yaml's default rules
+        # (WideDeep/xDeepFM d=10). Round-4's default of 64 silently gave
+        # the reference side 6.4x the field capacity in every RANKING
+        # cell (our side used the yaml default) — the "seed instability"
+        # divergence was this harness mismatch (PARITY.md round 5).
         "train_batch_size": ns.train_batch_size,
         "inductive_eval": True,
         "add_oov_buckets": ns.add_oov_buckets,
@@ -217,6 +222,8 @@ def paper_args(ns) -> dict:
         "worker": 0,
         "stopping_step": ns.stopping_step,
     }
+    if ns.embedding_size is not None:
+        args["embedding_size"] = ns.embedding_size
     if ns.mapper:
         args["inductive_mapper"] = ns.mapper
     if ns.embedder:
@@ -279,7 +286,7 @@ def main():
     ap.add_argument("--dataset", default="synth-ind")
     ap.add_argument("--seed", type=int, default=2020)
     ap.add_argument("--epochs", type=int, default=15)
-    ap.add_argument("--embedding_size", type=int, default=64)
+    ap.add_argument("--embedding_size", type=int, default=None)
     ap.add_argument("--train_batch_size", type=int, default=2048)
     ap.add_argument("--mapper", default="random")
     ap.add_argument("--embedder", default=None)
