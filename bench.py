@@ -146,12 +146,26 @@ def _timed_reps(run_once, reps: int = REPS) -> list[float]:
     chip's first timed repetition often stalls 10-100×, so a single
     window is not a valid measurement. Each rep dispatches the full
     donated scan chain and drains it with a D2H read inside the window;
-    the caller reports best + p50 + the raw spread."""
+    the caller reports best + p50 + the raw spread.
+
+    OOVREC_TRACE_DIR wraps ONLY the timed reps in a jax.profiler trace
+    (warm-up/compile stays outside — an in-trace compile floods the
+    profiler buffer and the loop's device events get dropped)."""
+    trace_dir = os.environ.get("OOVREC_TRACE_DIR")
+    ctx = None
+    if trace_dir:
+        import contextlib
+        import jax
+
+        ctx = jax.profiler.trace(trace_dir)
+        ctx.__enter__()
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         run_once()
         times.append(time.perf_counter() - t0)
+    if ctx is not None:
+        ctx.__exit__(None, None, None)
     return times
 
 
@@ -489,7 +503,8 @@ CTR_BATCH = 8192
 CTR_EMB = 16
 
 
-def measure_ctr(steps: int = STEPS, compute_dtype: str = "float32"):
+def measure_ctr(steps: int = STEPS, compute_dtype: str = "float32",
+                batch: int = CTR_BATCH):
     """xDeepFM (paper ranking model, CIN compute-heavy) roofline: full
     train step (fwd + bwd + adam) on a production-shaped CTR batch.
     `compute_dtype='bfloat16'` engages the global precision policy (CIN
@@ -518,7 +533,7 @@ def measure_ctr(steps: int = STEPS, compute_dtype: str = "float32"):
     from jax import lax
 
     rng = np.random.default_rng(1)
-    B = CTR_BATCH
+    B = batch
     K = steps
     xs = {
         "user_id": rng.integers(0, N_USERS, (K, B)).astype(np.int32),
