@@ -492,6 +492,12 @@ def measure_sparse(steps: int = STEPS, n_users: int = N_USERS,
     out.update(_rep_stats(times, K))
     out["io_model"] = "touched-rows (sparse-adam semantic floor)"
     out["update_impl"] = impl
+    out["note"] = (
+        "sparse_adam semantics (lazy rows). At this 300k-row vocab the "
+        "dense fused sweep is faster (see `bpr`); the sparse path is "
+        "vocab-independent and crosses over at ~2.5M combined rows "
+        "(1.63x at 4.5M) — EXPERIMENTS.md round 5 landscape table."
+    )
     out["steps_per_dispatch"] = K
     out["examples_per_s"] = round(BATCH * K / dt, 1)
     return out
