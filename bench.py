@@ -63,7 +63,13 @@ N_ITEMS = 100_000
 EMB = 64
 BATCH = 8192
 N_BUCKETS = 1024
-STEPS = 30  # warmup is the first run_steps call (compile + warm dispatch)
+# Steps per dispatch window. The tunnel costs ~28 ms RTT per dispatch
+# (trace-measured: device-time sum vs wall gap, round 5) — at 30 steps
+# that inflated every per-step number by ~0.9 ms of pure harness
+# latency. 100 steps amortizes it to <0.3 ms; production device epochs
+# dispatch thousands of steps, so the bigger window is the honest
+# shape. `steps_per_dispatch` rides every bench record.
+STEPS = int(os.environ.get("OOVREC_BENCH_STEPS", "100"))
 SIG = f"bpr-{N_USERS}-{N_ITEMS}-{EMB}-{BATCH}-{N_BUCKETS}-donated-bf16mu-scan"
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baselines.json")

@@ -88,14 +88,17 @@ class xDeepFM(ContextRecommender):
         )
         self._setup_context()
 
-    def _use_fused_cin(self) -> bool:
+    def _use_fused_cin(self, b: int = 0) -> bool:
         if self.fused_cin is False or self.fused_cin == "false":
             return False
         if self.fused_cin is True or self.fused_cin == "true":
             return True
         import jax
 
-        return jax.devices()[0].platform == "tpu"
+        # auto: the kernels' (sublane, lane) merge reshape needs a
+        # 128-lane batch tile — Mosaic rejects smaller ones (verified on
+        # the toy fixture); tiny batches take the XLA slab path instead
+        return jax.devices()[0].platform == "tpu" and b % 128 == 0
 
     def compressed_interaction_network(self, x, activation="relu"):
         """(B, F, D) → (B, final_len): pairwise Hadamard feature maps,
@@ -112,29 +115,33 @@ class xDeepFM(ContextRecommender):
 
         dt = compute_dtype()
         b, _, d = x.shape
-        if self._use_fused_cin():
-            from oovrec_tpu.ops.cin_fused import cin_layer
+        if self._use_fused_cin(b):
+            from oovrec_tpu.ops.cin_fused import cin_io_dtype, cin_layer_pooled
 
-            # kernel I/O rides f32 (Mosaic bf16 layout limits); the MXU
-            # dots inside run in the policy dtype
-            xb = x.astype(jnp.float32).transpose(1, 2, 0)  # (F, D, B)
+            # split-free pooled kernels (round 5): each layer emits the
+            # next hidden plus the D-pooled direct-connect rows directly
+            # from VMEM — no jnp.split pad copies, no (L, D, B) HBM
+            # round-trip of the pooled half. I/O rides bf16 when the
+            # block layout allows (cin_io_dtype), else f32.
+            io = cin_io_dtype(d, b, dt)
+            xb = x.astype(io).transpose(1, 2, 0)       # (F, D, B)
             hidden = xb
-            finals = []
-            for i, _layer_size in enumerate(self._cin_sizes):
+            pooled_parts = []
+            last = len(self._cin_sizes) - 1
+            for i, layer_size in enumerate(self._cin_sizes):
                 conv = self.conv1d_list[i]
-                out = cin_layer(
-                    hidden, xb, conv.kernel, conv.bias, mxu_dtype=dt,
-                )                                      # (L, D, B)
                 if self.direct:
-                    direct_connect, next_hidden = out, out
-                elif i != len(self._cin_sizes) - 1:
-                    next_hidden, direct_connect = jnp.split(out, 2, axis=0)
+                    nh, pool_all = layer_size, True
+                elif i != last:
+                    nh, pool_all = layer_size // 2, False
                 else:
-                    direct_connect, next_hidden = out, None
-                finals.append(direct_connect)
-                hidden = next_hidden
-            result = jnp.concatenate(finals, axis=0)   # (ΣL, D, B)
-            return jnp.sum(result.astype(jnp.float32), axis=1).T
+                    nh, pool_all = 0, True
+                hidden, pooled = cin_layer_pooled(
+                    hidden, xb, conv.kernel, conv.bias, mxu_dtype=dt,
+                    n_hidden=nh, pool_all=pool_all,
+                )                                      # (Lp, B) f32
+                pooled_parts.append(pooled)
+            return jnp.concatenate(pooled_parts, axis=0).T  # (B, ΣLp)
 
         hidden = [x.astype(dt)]
         finals = []

@@ -105,12 +105,38 @@ def _packed_gather_fn(dims: tuple, offsets: tuple, n_rows: int,
     )
     small = tuple(i for i in range(len(dims)) if i not in big)
 
+    def _gather_mixed(table, ids):
+        """Forward: XLA's TPU gather is row-serialized (~4-8 ns/row
+        measured — 0.48 ms/step at bench shapes for the full (B, F)
+        matrix), so only BIG-vocab fields gather; small-vocab fields
+        select their row by an exact one-hot matmul against their own
+        contiguous table slice (one nonzero per row → bit-identical)."""
+        if not small:
+            return jnp.asarray(table)[ids]
+        table = jnp.asarray(table)
+        D = table.shape[-1]
+        cols = [None] * len(dims)
+        if big:
+            bi = jnp.stack([ids[:, i] for i in big], axis=1)
+            bg = table[bi]                          # (B, n_big, D)
+            for k, i in enumerate(big):
+                cols[i] = bg[:, k]
+        for i in small:
+            d_i, off = int(dims[i]), int(offsets[i])
+            seg = jax.lax.slice(table, (off, 0), (off + d_i, D))
+            oh = (
+                ids[:, i:i + 1] - off
+                == jnp.arange(d_i, dtype=ids.dtype)[None, :]
+            ).astype(table.dtype)
+            cols[i] = oh @ seg
+        return jnp.stack(cols, axis=1)
+
     @jax.custom_vjp
     def f(table, ids):
-        return jnp.asarray(table)[ids]
+        return _gather_mixed(table, ids)
 
     def fwd(table, ids):
-        return jnp.asarray(table)[ids], ids
+        return _gather_mixed(table, ids), ids
 
     def bwd(ids, g):
         D = g.shape[-1]

@@ -50,7 +50,9 @@ def _parse_trace(trace_dir: str):
             continue
         args = e.get("args") or {}
         cat = args.get("hlo_category")
-        if cat is None or e.get("name") == "while":
+        # the `while` wrapper span CONTAINS the scan body's ops — its
+        # hlo_category is 'while' (the name alone can be e.g. 'while.1')
+        if cat is None or cat == "while" or e.get("name") == "while":
             continue
         dur = float(e.get("dur", 0.0))
         name = e.get("name", "?")
